@@ -1,0 +1,147 @@
+"""Typed configuration — the single source of truth for the whole framework.
+
+Equivalent surface to the reference's ``WhisperLiveKitConfig``
+(reference config.py:18-179): one dataclass consumed by the engine, the CLI
+argparse mirror, and the programmatic kwargs path. Field names are kept
+compatible where the concept survives the TPU redesign, so users migrating
+from the reference find their flags. TPU-specific knobs live in the
+"TPU engine" section.
+"""
+
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass, fields
+from typing import Optional
+
+logger = logging.getLogger(__name__)
+
+
+def parse_cors_origins(origins) -> list:
+    """Parse comma-separated CORS origins (reference config.py:10-15)."""
+    if origins is None:
+        return []
+    if isinstance(origins, (list, tuple)):
+        return [str(o).strip() for o in origins if str(o).strip()]
+    return [o.strip() for o in str(origins).split(",") if o.strip()]
+
+
+@dataclass
+class WLKConfig:
+    """All configuration with defaults matching the reference behavior."""
+
+    # ---- Server / global -------------------------------------------------
+    host: str = "localhost"
+    port: int = 8000
+    api_token: Optional[str] = None          # None = no auth; WLK_API_TOKEN env applies
+    translate_on_complete: bool = False
+    diarization: bool = False
+    punctuation_split: bool = False
+    target_language: str = ""
+    translation_backend: str = "nllb"        # "nllb" in-process | "alignatt" sidecar
+    alignatt_url: str = "ws://localhost:8765"
+    alignatt_preset: Optional[str] = None
+    alignatt_latency: str = "balanced"       # quality | balanced | low
+    alignatt_context: str = ""
+    vac: bool = True                         # voice-activity-controlled segmentation
+    vac_chunk_size: float = 0.04             # seconds per VAD tick
+    log_level: str = "DEBUG"
+    ssl_certfile: Optional[str] = None
+    ssl_keyfile: Optional[str] = None
+    forwarded_allow_ips: Optional[str] = None
+    cors_origins: str = ""
+    transcription: bool = True
+    vad: bool = True
+    pcm_input: bool = False                  # raw s16le/f32 PCM in, skip decode step
+    diarization_backend: str = "sortformer"  # sortformer | energy
+    sortformer_model_path: Optional[str] = None
+    backend_policy: str = "simulstreaming"   # simulstreaming | localagreement
+    backend: str = "auto"                    # auto resolves to "jax" here
+
+    # ---- Transcription common --------------------------------------------
+    warmup_file: Optional[str] = None
+    min_chunk_size: float = 0.1
+    retention_seconds: Optional[float] = None  # None = auto (inf full / 300 diff)
+    rest_timeout: float = 0.0                  # 0 = auto max(120, 2.5x audio)
+    model_size: str = "base"
+    model_cache_dir: Optional[str] = None
+    model_dir: Optional[str] = None
+    model_path: Optional[str] = None
+    encoder_model_path: Optional[str] = None
+    decoder_model_path: Optional[str] = None
+    lora_path: Optional[str] = None
+    lan: str = "auto"
+    direct_english_translation: bool = False
+
+    # ---- LocalAgreement policy --------------------------------------------
+    buffer_trimming: str = "segment"         # segment | sentence
+    confidence_validation: bool = False
+    buffer_trimming_sec: float = 15.0
+
+    # ---- SimulStreaming / AlignAtt policy ----------------------------------
+    frame_threshold: int = 25                # encoder frames of attention headroom
+    beams: int = 1
+    decoder_type: Optional[str] = None       # greedy | beam (None = auto from beams)
+    audio_max_len: float = 30.0              # audio window (s); also jit pad target
+    audio_min_len: float = 0.0
+    cif_ckpt_path: Optional[str] = None
+    never_fire: bool = False
+    init_prompt: Optional[str] = None
+    static_init_prompt: Optional[str] = None
+    max_context_tokens: Optional[int] = None
+    custom_alignment_heads: Optional[str] = None
+
+    # ---- Diarization -------------------------------------------------------
+    segmentation_model: str = "pyannote/segmentation-3.0"
+    embedding_model: str = "pyannote/embedding"
+
+    # ---- Translation -------------------------------------------------------
+    nllb_backend: str = "jax"                # this framework runs NLLB in JAX
+    nllb_size: str = "600M"
+
+    # ---- TPU engine (net-new vs reference) ---------------------------------
+    compute_dtype: str = "bfloat16"          # matmul dtype on the MXU
+    param_dtype: str = "bfloat16"
+    decode_block_tokens: int = 8             # decode steps fused per device call
+    max_decode_tokens: int = 224             # hard cap per streaming inference
+    max_batch_sessions: int = 64             # scheduler packing width per chip
+    scheduler: bool = True                   # multi-session batch scheduler on/off
+    mesh_shape: Optional[str] = None         # e.g. "data:4,model:2"; None = 1 chip
+    donate_kv_cache: bool = True
+    profile_dir: Optional[str] = None        # jax.profiler trace output
+
+    def __post_init__(self) -> None:
+        if self.model_size and self.model_size.endswith(".en"):
+            self.lan = "en"
+        if self.backend_policy == "1":
+            self.backend_policy = "simulstreaming"
+        elif self.backend_policy == "2":
+            self.backend_policy = "localagreement"
+
+    # ---- factories ---------------------------------------------------------
+
+    @classmethod
+    def from_namespace(cls, ns) -> "WLKConfig":
+        known = {f.name for f in fields(cls)}
+        return cls(**{k: v for k, v in vars(ns).items() if k in known})
+
+    @classmethod
+    def from_kwargs(cls, **kwargs) -> "WLKConfig":
+        """Programmatic path; unknown keys warn and are dropped, and the
+        reference's ``no_*`` negation convention is honored
+        (reference core.py:82-93)."""
+        normalized = {}
+        for k, v in kwargs.items():
+            if k.startswith("no_") and isinstance(v, bool):
+                normalized.setdefault(k[3:], not v)
+            else:
+                normalized[k] = v
+        known = {f.name for f in fields(cls)}
+        unknown = set(normalized) - known
+        if unknown:
+            logger.warning("Unknown config keys ignored: %s", sorted(unknown))
+        return cls(**{k: v for k, v in normalized.items() if k in known})
+
+
+# Backwards-compatible alias for users porting from the reference.
+WhisperLiveKitConfig = WLKConfig
