@@ -1,0 +1,416 @@
+"""Whisper encoder/decoder as pure JAX functions over a parameter pytree.
+
+TPU-first redesign of the reference's torch module (reference
+whisper/model.py:25-408). Key inversions:
+
+- **State out of the model**: the KV cache is an explicit pytree argument
+  with per-lane write positions, so one jitted ``decode`` serves many
+  concurrent sessions at different decode depths (the multi-session batch
+  scheduler packs lanes; reference keeps a python dict cache per session).
+- **Stacked layers + lax.scan**: all transformer blocks live in one pytree
+  with a leading layer axis; the forward scans over it, so compile time and
+  code size are O(1) in depth (32-layer large-v3 compiles like tiny).
+- **Alignment attention in-graph**: instead of returning every layer's
+  cross-attention (reference ``return_cross_attn`` plumbing,
+  whisper/model.py:281-332), the registered alignment heads' post-softmax
+  probabilities are accumulated into a fixed [K,B,S,T] buffer inside the
+  layer scan — the only attention that ever leaves the device.
+- Static shapes everywhere: mel is [B, n_mels, 3000], encoder output
+  [B, 1500, D], cache [L, B, n_text_ctx, H, Dh]; per-lane masks handle
+  ragged reality.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .dims import ModelDimensions
+
+Params = Dict[str, jnp.ndarray]
+
+
+# ---------------------------------------------------------------------------
+# Parameter initialization (tests / benchmarks; real weights come from load.py)
+# ---------------------------------------------------------------------------
+
+
+def _linear(key, d_in, d_out, dtype, bias=True):
+    k1, _ = jax.random.split(key)
+    w = jax.random.normal(k1, (d_in, d_out), dtype=jnp.float32) * (d_in**-0.5)
+    p = {"w": w.astype(dtype)}
+    if bias:
+        p["b"] = jnp.zeros((d_out,), dtype)
+    return p
+
+
+def _ln(d, dtype):
+    return {"scale": jnp.ones((d,), dtype), "bias": jnp.zeros((d,), dtype)}
+
+
+def _attn_params(key, d, dtype):
+    kq, kk, kv, ko = jax.random.split(key, 4)
+    return {
+        "q": _linear(kq, d, d, dtype),
+        "k": _linear(kk, d, d, dtype, bias=False),
+        "v": _linear(kv, d, d, dtype),
+        "o": _linear(ko, d, d, dtype),
+    }
+
+
+def _block_params(key, d, dtype, cross: bool):
+    keys = jax.random.split(key, 4)
+    p = {
+        "attn_ln": _ln(d, dtype),
+        "attn": _attn_params(keys[0], d, dtype),
+        "mlp_ln": _ln(d, dtype),
+        "mlp": {
+            "fc1": _linear(keys[1], d, 4 * d, dtype),
+            "fc2": _linear(keys[2], 4 * d, d, dtype),
+        },
+    }
+    if cross:
+        p["cross_ln"] = _ln(d, dtype)
+        p["cross"] = _attn_params(keys[3], d, dtype)
+    return p
+
+
+def _stack(trees):
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *trees)
+
+
+def init_params(dims: ModelDimensions, key: jax.Array, dtype=jnp.float32) -> Params:
+    """Random-initialized parameter pytree with the production layout."""
+    ke, kd, kc1, kc2, kt = jax.random.split(key, 5)
+    d_a, d_t = dims.n_audio_state, dims.n_text_state
+
+    enc_blocks = _stack(
+        [
+            _block_params(k, d_a, dtype, cross=False)
+            for k in jax.random.split(ke, dims.n_audio_layer)
+        ]
+    )
+    dec_blocks = _stack(
+        [
+            _block_params(k, d_t, dtype, cross=True)
+            for k in jax.random.split(kd, dims.n_text_layer)
+        ]
+    )
+    conv_scale = (3 * dims.n_mels) ** -0.5
+    return {
+        "encoder": {
+            "conv1": {
+                "w": (jax.random.normal(kc1, (d_a, dims.n_mels, 3)) * conv_scale).astype(dtype),
+                "b": jnp.zeros((d_a,), dtype),
+            },
+            "conv2": {
+                "w": (jax.random.normal(kc2, (d_a, d_a, 3)) * (3 * d_a) ** -0.5).astype(dtype),
+                "b": jnp.zeros((d_a,), dtype),
+            },
+            "blocks": enc_blocks,
+            "ln_post": _ln(d_a, dtype),
+        },
+        "decoder": {
+            "tok_emb": (jax.random.normal(kt, (dims.n_vocab, d_t)) * 0.02).astype(dtype),
+            "pos_emb": jnp.zeros((dims.n_text_ctx, d_t), dtype),
+            "blocks": dec_blocks,
+            "ln": _ln(d_t, dtype),
+        },
+    }
+
+
+# ---------------------------------------------------------------------------
+# Primitive ops
+# ---------------------------------------------------------------------------
+
+
+def layer_norm(x: jnp.ndarray, p: Params, eps: float = 1e-5) -> jnp.ndarray:
+    xf = x.astype(jnp.float32)
+    mean = xf.mean(-1, keepdims=True)
+    var = xf.var(-1, keepdims=True)
+    out = (xf - mean) * jax.lax.rsqrt(var + eps)
+    return (out * p["scale"].astype(jnp.float32) + p["bias"].astype(jnp.float32)).astype(x.dtype)
+
+
+def dense(x: jnp.ndarray, p: Params) -> jnp.ndarray:
+    y = jnp.dot(x, p["w"], preferred_element_type=jnp.float32)
+    if "b" in p:
+        y = y + p["b"].astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def _split_heads(x: jnp.ndarray, n_head: int) -> jnp.ndarray:
+    b, s, d = x.shape
+    return x.reshape(b, s, n_head, d // n_head)
+
+
+def _merge_heads(x: jnp.ndarray) -> jnp.ndarray:
+    b, s, h, dh = x.shape
+    return x.reshape(b, s, h * dh)
+
+
+def sinusoids(length: int, channels: int) -> np.ndarray:
+    """Sinusoidal position embeddings (reference whisper/model.py sinusoids)."""
+    assert channels % 2 == 0
+    log_timescale_increment = math.log(10000) / (channels // 2 - 1)
+    inv_timescales = np.exp(-log_timescale_increment * np.arange(channels // 2))
+    scaled_time = np.arange(length)[:, None] * inv_timescales[None, :]
+    return np.concatenate([np.sin(scaled_time), np.cos(scaled_time)], axis=1).astype(np.float32)
+
+
+def _attend(q, k, v, mask=None):
+    """Materializing attention for short query blocks.
+
+    q:[B,S,H,Dh] k,v:[B,T,H,Dh] mask:[B,S,T] additive or None -> [B,S,H,Dh].
+    Softmax in f32 for stability regardless of compute dtype.
+    """
+    dh = q.shape[-1]
+    scores = jnp.einsum("bshd,bthd->bhst", q, k, preferred_element_type=jnp.float32)
+    scores = scores * (dh**-0.5)
+    if mask is not None:
+        scores = scores + mask[:, None, :, :]
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bhst,bthd->bshd", probs.astype(v.dtype), v, preferred_element_type=jnp.float32)
+    return out.astype(v.dtype), probs
+
+
+def _attend_chunked(q, k, v, chunk: int = 256):
+    """Flash-style online-softmax attention scanned over query chunks.
+
+    Bounds memory to O(chunk*T) per head instead of O(S*T): used by the
+    encoder where S=T=1500 and batch is large. q,k,v: [B,S,H,Dh].
+    """
+    b, s, h, dh = q.shape
+    scale = dh**-0.5
+    n_chunks = (s + chunk - 1) // chunk
+    pad = n_chunks * chunk - s
+    if pad:
+        q = jnp.pad(q, ((0, 0), (0, pad), (0, 0), (0, 0)))
+    qc = q.reshape(b, n_chunks, chunk, h, dh).transpose(1, 0, 2, 3, 4)
+
+    def body(carry, q_blk):
+        scores = jnp.einsum("bshd,bthd->bhst", q_blk, k, preferred_element_type=jnp.float32) * scale
+        probs = jax.nn.softmax(scores, axis=-1)
+        out = jnp.einsum(
+            "bhst,bthd->bshd", probs.astype(v.dtype), v, preferred_element_type=jnp.float32
+        )
+        return carry, out.astype(v.dtype)
+
+    _, outs = jax.lax.scan(body, None, qc)
+    out = outs.transpose(1, 0, 2, 3, 4).reshape(b, n_chunks * chunk, h, dh)
+    return out[:, :s]
+
+
+# ---------------------------------------------------------------------------
+# Encoder
+# ---------------------------------------------------------------------------
+
+
+def _conv1d(x, p, stride: int):
+    # x: [B, C_in, T], w: [C_out, C_in, K] with SAME-1 padding like torch pad=1
+    y = jax.lax.conv_general_dilated(
+        x,
+        p["w"],
+        window_strides=(stride,),
+        padding=((1, 1),),
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        preferred_element_type=jnp.float32,
+    )
+    return (y + p["b"][None, :, None].astype(jnp.float32)).astype(x.dtype)
+
+
+def encode(params: Params, mel: jnp.ndarray, dims: ModelDimensions) -> jnp.ndarray:
+    """mel [B, n_mels, 3000] -> encoder features [B, 1500, D]."""
+    p = params["encoder"]
+    x = mel.astype(p["conv1"]["w"].dtype)
+    x = jax.nn.gelu(_conv1d(x, p["conv1"], 1), approximate=False)
+    x = jax.nn.gelu(_conv1d(x, p["conv2"], 2), approximate=False)
+    x = x.transpose(0, 2, 1)  # [B, T, D]
+    pos = jnp.asarray(sinusoids(dims.n_audio_ctx, dims.n_audio_state))
+    x = (x + pos[: x.shape[1]].astype(x.dtype)).astype(x.dtype)
+
+    n_head = dims.n_audio_head
+
+    def block(x, bp):
+        h = layer_norm(x, bp["attn_ln"])
+        q = _split_heads(dense(h, bp["attn"]["q"]), n_head)
+        k = _split_heads(dense(h, bp["attn"]["k"]), n_head)
+        v = _split_heads(dense(h, bp["attn"]["v"]), n_head)
+        if x.shape[1] > 512:
+            attn = _attend_chunked(q, k, v)
+        else:
+            attn, _ = _attend(q, k, v)
+        x = x + dense(_merge_heads(attn), bp["attn"]["o"])
+        h = layer_norm(x, bp["mlp_ln"])
+        h = jax.nn.gelu(dense(h, bp["mlp"]["fc1"]), approximate=False)
+        x = x + dense(h, bp["mlp"]["fc2"])
+        return x, None
+
+    x, _ = jax.lax.scan(block, x, p["blocks"])
+    return layer_norm(x, p["ln_post"])
+
+
+# ---------------------------------------------------------------------------
+# Decoder with explicit KV cache
+# ---------------------------------------------------------------------------
+
+
+class KVCache(NamedTuple):
+    """Self-attention cache: [L, B, n_text_ctx, H, Dh] keys/values."""
+
+    k: jnp.ndarray
+    v: jnp.ndarray
+
+
+class CrossKV(NamedTuple):
+    """Per-layer encoder keys/values: [L, B, T_enc, H, Dh] (computed once per
+    encode; the reference caches these per-session in a python dict,
+    whisper/model.py:126-146)."""
+
+    k: jnp.ndarray
+    v: jnp.ndarray
+
+
+def init_cache(dims: ModelDimensions, batch: int, dtype=jnp.float32) -> KVCache:
+    shape = (dims.n_text_layer, batch, dims.n_text_ctx, dims.n_text_head, dims.head_dim)
+    return KVCache(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
+
+
+def cross_kv(params: Params, enc: jnp.ndarray, dims: ModelDimensions) -> CrossKV:
+    n_head = dims.n_text_head
+
+    def per_layer(_, bp):
+        k = _split_heads(dense(enc, bp["cross"]["k"]), n_head)
+        v = _split_heads(dense(enc, bp["cross"]["v"]), n_head)
+        return None, (k, v)
+
+    _, (ks, vs) = jax.lax.scan(per_layer, None, params["decoder"]["blocks"])
+    return CrossKV(k=ks, v=vs)
+
+
+class AlignSpec(NamedTuple):
+    """Static alignment-head routing: K entries of (layer, head)."""
+
+    layers: jnp.ndarray  # [K] int32
+    heads: jnp.ndarray  # [K] int32
+
+    @classmethod
+    def from_pairs(cls, pairs) -> "AlignSpec":
+        arr = np.asarray(pairs, dtype=np.int32).reshape(-1, 2)
+        return cls(layers=jnp.asarray(arr[:, 0]), heads=jnp.asarray(arr[:, 1]))
+
+    @property
+    def count(self) -> int:
+        return self.layers.shape[0]
+
+
+def decode(
+    params: Params,
+    tokens: jnp.ndarray,  # [B, S] int32 — the new tokens to process
+    pos: jnp.ndarray,  # [B] int32 — current cache fill per lane
+    xkv: CrossKV,
+    cache: KVCache,
+    dims: ModelDimensions,
+    align: Optional[AlignSpec] = None,
+    enc_mask: Optional[jnp.ndarray] = None,  # [B, T_enc] bool — valid frames
+) -> Tuple[jnp.ndarray, Optional[jnp.ndarray], KVCache]:
+    """Teacher-forced step over S new tokens for every lane.
+
+    Returns (logits [B,S,V] f32, align_probs [K,B,S,T_enc] f32 | None,
+    updated cache). Works for prefill (S = prompt length, pos = 0) and for
+    incremental block-decode (S = decode_block_tokens, per-lane pos).
+    """
+    dec = params["decoder"]
+    B, S = tokens.shape
+    n_head = dims.n_text_head
+    T_ctx = dims.n_text_ctx
+
+    positions = pos[:, None] + jnp.arange(S, dtype=jnp.int32)[None, :]  # [B,S]
+    positions = jnp.minimum(positions, T_ctx - 1)
+    x = dec["tok_emb"][tokens] + dec["pos_emb"][positions]
+
+    # Self-attention mask over the cache timeline: key j visible to query s
+    # iff j <= pos + s (strict causality with per-lane offsets).
+    key_idx = jnp.arange(T_ctx, dtype=jnp.int32)[None, None, :]  # [1,1,T]
+    self_mask = jnp.where(key_idx <= positions[:, :, None], 0.0, -jnp.inf).astype(jnp.float32)
+
+    cross_mask = None
+    if enc_mask is not None:
+        cross_mask = jnp.where(enc_mask[:, None, :], 0.0, -jnp.inf).astype(jnp.float32)
+
+    batch_idx = jnp.arange(B, dtype=jnp.int32)[:, None]  # [B,1]
+
+    if align is not None:
+        align_acc = jnp.zeros(
+            (align.count, B, S, xkv.k.shape[2]), dtype=jnp.float32
+        )
+    else:
+        align_acc = None
+
+    def block(carry, layer_in):
+        x, align_acc, layer_i = carry
+        bp, ck, cv, xk, xv = layer_in
+
+        # -- self attention over cache --
+        h = layer_norm(x, bp["attn_ln"])
+        q = _split_heads(dense(h, bp["attn"]["q"]), n_head)
+        k_new = _split_heads(dense(h, bp["attn"]["k"]), n_head)
+        v_new = _split_heads(dense(h, bp["attn"]["v"]), n_head)
+        ck = ck.at[batch_idx, positions].set(k_new)
+        cv = cv.at[batch_idx, positions].set(v_new)
+        attn, _ = _attend(q, ck, cv, mask=self_mask)
+        x = x + dense(_merge_heads(attn), bp["attn"]["o"])
+
+        # -- cross attention over encoder features --
+        h = layer_norm(x, bp["cross_ln"])
+        qx = _split_heads(dense(h, bp["cross"]["q"]), n_head)
+        xattn, xprobs = _attend(qx, xk, xv, mask=cross_mask)  # xprobs [B,H,S,T]
+        x = x + dense(_merge_heads(xattn), bp["cross"]["o"])
+
+        if align_acc is not None:
+            # Route this layer's registered heads into their fixed slots.
+            sel = (align.layers == layer_i).astype(jnp.float32)  # [K]
+            gathered = xprobs[:, align.heads]  # [B,K,S,T]
+            align_acc = align_acc + sel[:, None, None, None] * gathered.transpose(1, 0, 2, 3)
+
+        # -- mlp --
+        h = layer_norm(x, bp["mlp_ln"])
+        x = x + dense(jax.nn.gelu(dense(h, bp["mlp"]["fc1"]), approximate=False), bp["mlp"]["fc2"])
+        return (x, align_acc, layer_i + 1), (ck, cv)
+
+    (x, align_acc, _), (new_k, new_v) = jax.lax.scan(
+        block,
+        (x, align_acc, jnp.int32(0)),
+        (params["decoder"]["blocks"], cache.k, cache.v, xkv.k, xkv.v),
+    )
+
+    x = layer_norm(x, dec["ln"])
+    logits = jnp.dot(
+        x, dec["tok_emb"].T.astype(x.dtype), preferred_element_type=jnp.float32
+    )
+    return logits, align_acc, KVCache(k=new_k, v=new_v)
+
+
+# ---------------------------------------------------------------------------
+# Jit entry points (static over dims / shapes)
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("dims",))
+def encode_jit(params, mel, dims):
+    return encode(params, mel, dims)
+
+
+@partial(jax.jit, static_argnames=("dims",))
+def cross_kv_jit(params, enc, dims):
+    return cross_kv(params, enc, dims)
+
+
+@partial(jax.jit, static_argnames=("dims",), donate_argnames=("cache",))
+def decode_jit(params, tokens, pos, xkv, cache, dims, align=None, enc_mask=None):
+    return decode(params, tokens, pos, xkv, cache, dims, align=align, enc_mask=enc_mask)
