@@ -50,7 +50,10 @@ def mel_filterbank(n_mels: int = 80, sr: int = SAMPLE_RATE, n_fft: int = N_FFT) 
         min_log_hz = 1000.0
         min_log_mel = min_log_hz / f_sp
         logstep = np.log(6.4) / 27.0
-        return np.where(f >= min_log_hz, min_log_mel + np.log(f / min_log_hz) / logstep, mels)
+        safe = np.maximum(f, 1e-10)
+        return np.where(
+            f >= min_log_hz, min_log_mel + np.log(safe / min_log_hz) / logstep, mels
+        )
 
     def mel_to_hz(m):
         m = np.asarray(m, dtype=np.float64)
