@@ -1,0 +1,753 @@
+"""AlignAtt / SimulStreaming policy on TPU — the flagship streaming path.
+
+Behavioral port of the reference's AlignAtt decode loop (reference
+simul_whisper/align_att_base.py:174-322 + simul_whisper/simul_whisper.py)
+restructured so one *tick* = one jitted device program:
+
+    mel → encoder → cross-KV → prefill(prefix) → lax.while_loop of
+    (filter → DRY → argmax → attention gate / rewind / EOT decisions)
+
+Reference inversions for TPU:
+
+- The reference's per-token host loop (decode 1 token → softmax attn →
+  z-norm → median filter → argmax on host) becomes an in-graph loop; only
+  the final (tokens, frames, reason) leave the device once per tick.
+- Attention statistics use running mean/variance accumulators per
+  (head, frame) instead of materializing the token-axis history
+  (reference keeps the last 16 attention entries,
+  simul_whisper/align_att_base.py:226-229; the running form is exact while
+  an infer emits ≤16 tokens — the overwhelmingly common case — and only
+  the normalization window differs beyond that).
+- The DRY repetition penalty (align_att_base.py:492-537) is vectorized over
+  match lengths instead of dict-based host scanning.
+- Lanes are batched: the same program serves B sessions at different decode
+  depths (per-lane prefix_len/content_frames/stop state) — this is what the
+  multi-session scheduler packs.
+"""
+
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass, field
+from functools import partial
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..audio.mel import N_SAMPLES, SAMPLE_RATE, TOKENS_PER_SECOND, log_mel_spectrogram, pad_or_trim
+from ..models.whisper import model as wm
+from ..models.whisper.dims import ModelDimensions, default_alignment_heads
+from ..models.whisper.tokenizer import Tokenizer
+from ..ops.median import median_filter
+from ..timed import ASRToken
+
+logger = logging.getLogger(__name__)
+
+DEC_PAD = 50257  # tokens >= this are special (reference align_att_base.py:10)
+
+# stop reasons
+RUNNING, STOP_EOT, STOP_GATE, STOP_REWIND, STOP_NOSPEECH, STOP_CAP, STOP_CTX = range(7)
+
+
+@dataclass
+class AlignAttConfig:
+    """Policy knobs (reference simul_whisper/config.py:5-23)."""
+
+    segment_length: float = 0.5
+    frame_threshold: int = 25
+    rewind_threshold: int = 200
+    audio_max_len: float = 30.0
+    audio_min_len: float = 0.0
+    nonspeech_prob: float = 0.5
+    language: str = "auto"
+    task: str = "transcribe"
+    decoder_type: str = "greedy"
+    beam_size: int = 1
+    init_prompt: Optional[str] = None
+    static_init_prompt: Optional[str] = None
+    max_context_tokens: Optional[int] = None
+    never_fire: bool = False
+    cif_ckpt_path: Optional[str] = None
+    max_steps: int = 64  # static per-tick decode budget (device loop bound)
+
+
+class TokenBufferCtx:
+    """Scrolling text context prompt (reference simul_whisper/token_buffer.py)."""
+
+    def __init__(self, tokenizer: Tokenizer, text: str = "", prefix_token_ids=None):
+        self.tokenizer = tokenizer
+        self.text = text
+        self.prefix_token_ids = list(prefix_token_ids or [])
+        self.pending_token_ids: List[int] = []
+
+    def as_token_ids(self) -> List[int]:
+        return self.prefix_token_ids + self.tokenizer.encode(self.text)
+
+    def is_empty(self) -> bool:
+        return not self.text
+
+    def trim_words(self, num: int = 1, after: int = 0) -> int:
+        ids = self.tokenizer.encode(self.text[after:])
+        words, wids = self.tokenizer.split_to_word_tokens(ids)
+        if not words:
+            return 0
+        self.text = self.text[:after] + "".join(words[num:])
+        return sum(len(w) for w in wids[:num])
+
+    def append_token_ids(self, token_ids: List[int]) -> None:
+        all_tokens = self.pending_token_ids + list(token_ids)
+        decoded = self.tokenizer.decode(all_tokens)
+        if "�" in decoded:
+            if len(all_tokens) > 1:
+                partial_dec = self.tokenizer.decode(all_tokens[:-1])
+                if "�" not in partial_dec:
+                    self.text += partial_dec
+                    self.pending_token_ids = [all_tokens[-1]]
+                else:
+                    self.pending_token_ids = all_tokens
+            else:
+                self.pending_token_ids = all_tokens
+        else:
+            self.text += decoded
+            self.pending_token_ids = []
+
+
+# ---------------------------------------------------------------------------
+# In-graph DRY repetition penalty
+# ---------------------------------------------------------------------------
+
+
+def dry_penalty(logits: jnp.ndarray, tokens: jnp.ndarray, cur_len: jnp.ndarray, eot: int):
+    """Vectorized DRY v0 (reference align_att_base.py:492-537).
+
+    logits [B,V], tokens [B,L], cur_len [B]. Penalizes tokens that would
+    extend a verbatim repetition of the current suffix.
+    """
+    B, L = tokens.shape
+    V = logits.shape[-1]
+    idx = jnp.arange(L, dtype=jnp.int32)[None, :]  # [1,L]
+    last = jnp.take_along_axis(tokens, (cur_len - 1)[:, None], axis=1)  # [B,1]
+
+    # candidate positions i: tokens[i] == last, i < cur_len-1, next token is text
+    next_tok = jnp.roll(tokens, -1, axis=1)
+    cand = (tokens == last) & (idx < (cur_len - 1)[:, None]) & (next_tok < eot)
+
+    # match length: consecutive equality of suffixes ending at i vs cur_len-1
+    def match_step(l, carry):
+        length, alive = carry
+        j = idx - l                      # position behind candidate
+        k = (cur_len - 1)[:, None] - l   # position behind suffix end
+        ok = (j >= 0) & (k > idx)
+        tj = jnp.take_along_axis(tokens, jnp.maximum(j, 0), axis=1)
+        tk = jnp.take_along_axis(tokens, jnp.maximum(k, 0), axis=1)
+        step_ok = ok & (tj == tk) & (tj < eot)
+        alive = alive & step_ok
+        return length + alive.astype(jnp.int32), alive
+
+    length, _ = jax.lax.fori_loop(
+        1, 50, match_step, (jnp.ones((B, L), jnp.int32), cand)
+    )
+
+    pen_len = jnp.where(cand, length, 0)
+    # scatter-max per next-token id
+    pen_per_tok = jnp.zeros((B, V), jnp.int32).at[
+        jnp.arange(B)[:, None], jnp.where(cand, next_tok, 0)
+    ].max(pen_len)
+    penalty = jnp.where(
+        pen_per_tok >= 2, 2.0 ** (pen_per_tok.astype(jnp.float32) - 2.0), 0.0
+    )
+    apply = (cur_len >= 5)[:, None] & (last < eot)
+    return logits - jnp.where(apply, penalty, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# The jitted tick program
+# ---------------------------------------------------------------------------
+
+
+@partial(
+    jax.jit,
+    static_argnames=("dims", "p_max", "max_steps", "eot", "ts_begin", "no_speech_tok", "space_tok"),
+)
+def alignatt_tick(
+    params,
+    mel: jnp.ndarray,            # [B, n_mels, 3000]
+    prefix: jnp.ndarray,         # [B, p_max] right-padded with eot
+    prefix_len: jnp.ndarray,     # [B]
+    sot_index: jnp.ndarray,      # [B]
+    content_frames: jnp.ndarray, # [B] encoder frames of real audio
+    last_attend: jnp.ndarray,    # [B] carry-in attention watermark
+    is_last: jnp.ndarray,        # [B] bool
+    max_new: jnp.ndarray,        # [B] loop-detection cap
+    suppress_mask: jnp.ndarray,  # [V] additive
+    align_layers: jnp.ndarray,   # [K]
+    align_heads: jnp.ndarray,    # [K]
+    frame_threshold: jnp.ndarray,  # scalar
+    rewind_threshold: jnp.ndarray, # scalar
+    nonspeech_prob: jnp.ndarray,   # scalar
+    active_in: jnp.ndarray,      # [B] bool — lanes with work this tick
+    dims: ModelDimensions,
+    p_max: int,
+    max_steps: int,
+    eot: int,
+    ts_begin: int,
+    no_speech_tok: int,
+    space_tok: int,
+):
+    """One streaming tick for B lanes. Returns
+    (new_tokens [B,max_steps], n_keep [B], frames [B,max_steps], reason [B],
+    no_speech_prob [B], last_attend_out [B])."""
+    B = mel.shape[0]
+    align = wm.AlignSpec(layers=align_layers, heads=align_heads)
+    K = align_layers.shape[0]
+    T = dims.n_audio_ctx
+
+    enc = wm.encode(params, mel, dims)
+    xkv = wm.cross_kv(params, enc, dims)
+    cache = wm.init_cache(dims, B, dtype=params["decoder"]["tok_emb"].dtype)
+
+    prefill_logits, aprobs, cache = wm.decode(
+        params, prefix, jnp.zeros((B,), jnp.int32), xkv, cache, dims, align=align
+    )
+    # aprobs [K,B,P,T] → per-lane running stats over the real prefix rows.
+    row_mask = (jnp.arange(p_max)[None, :] < prefix_len[:, None]).astype(jnp.float32)
+    ap = aprobs.transpose(1, 0, 2, 3)  # [B,K,P,T]
+    asum = jnp.einsum("bkpt,bp->bkt", ap, row_mask)
+    asq = jnp.einsum("bkpt,bp->bkt", ap * ap, row_mask)
+    acount = prefix_len.astype(jnp.float32)
+
+    gather_idx = (prefix_len - 1)[:, None, None, None]
+    last_row = jnp.take_along_axis(
+        ap, jnp.broadcast_to(gather_idx, (B, 1, 1, 1)), axis=2
+    )  # needs idx along axis 2
+    # jnp.take_along_axis broadcasting: index [B,1,1,1] over [B,K,P,T] axis=2
+    last_row = last_row[:, :, 0, :] if last_row.ndim == 4 else last_row
+
+    no_speech_logits = jnp.take_along_axis(
+        prefill_logits, sot_index[:, None, None], axis=1
+    )[:, 0]
+    no_speech_p = jax.nn.softmax(no_speech_logits, axis=-1)[:, no_speech_tok]
+
+    logits0 = jnp.take_along_axis(
+        prefill_logits, (prefix_len - 1)[:, None, None], axis=1
+    )[:, 0]
+
+    tokens_buf = jnp.full((B, dims.n_text_ctx), eot, jnp.int32)
+    tokens_buf = jax.lax.dynamic_update_slice(tokens_buf, prefix, (0, 0))
+
+    frame_idx = jnp.arange(T, dtype=jnp.int32)[None, :]
+
+    init = dict(
+        cache=cache,
+        tokens=tokens_buf,
+        logits=logits0,
+        k=jnp.int32(0),
+        active=active_in,
+        n_keep=jnp.zeros((B,), jnp.int32),
+        reason=jnp.where(active_in, RUNNING, STOP_CAP).astype(jnp.int32),
+        new_tokens=jnp.full((B, max_steps), eot, jnp.int32),
+        frames=jnp.zeros((B, max_steps), jnp.int32),
+        asum=asum,
+        asq=asq,
+        acount=acount,
+        last_row=last_row,
+        last_attend=last_attend,
+    )
+
+    def cond(s):
+        return (s["k"] < max_steps) & jnp.any(s["active"])
+
+    def body(s):
+        k = s["k"]
+        cur_len = prefix_len + k  # [B]
+
+        # ---- logit filters ----
+        lg = s["logits"] + suppress_mask[None, :]
+        vocab_idx = jnp.arange(lg.shape[-1], dtype=jnp.int32)[None, :]
+        blank = (vocab_idx == space_tok) | (vocab_idx == eot)
+        lg = jnp.where((k == 0) & blank, -jnp.inf, lg)
+        lg = dry_penalty(lg, s["tokens"], cur_len, eot)
+
+        tok = jnp.argmax(lg, axis=-1).astype(jnp.int32)
+        completed = tok == eot
+
+        # ---- attention of the last fed token (gate input) ----
+        mean = s["asum"] / jnp.maximum(s["acount"], 1.0)[:, None, None]
+        var = s["asq"] / jnp.maximum(s["acount"], 1.0)[:, None, None] - mean * mean
+        std = jnp.sqrt(jnp.maximum(var, 0.0))
+        z = (s["last_row"] - mean) / (std + 1e-8)
+        filt = median_filter(z, 7)           # [B,K,T]
+        gatt = filt.mean(axis=1)             # [B,T]
+        gatt = jnp.where(frame_idx < content_frames[:, None], gatt, -jnp.inf)
+        frame = jnp.argmax(gatt, axis=-1).astype(jnp.int32)  # [B]
+
+        frames = s["frames"].at[:, k].set(jnp.where(s["active"], frame, 0))
+
+        # ---- stop decisions ----
+        nospeech_stop = (k == 0) & (no_speech_p > nonspeech_prob)
+        prev_tok = jnp.take_along_axis(s["tokens"], (cur_len - 1)[:, None], axis=1)[:, 0]
+        special_exempt = prev_tok >= DEC_PAD
+        rewind_cond = (~is_last) & (s["last_attend"] - frame > rewind_threshold)
+        do_rewind = rewind_cond & ~special_exempt
+        new_last_attend = jnp.where(
+            rewind_cond & special_exempt,
+            frame,
+            jnp.where(do_rewind, -rewind_threshold, frame),
+        )
+        thr = jnp.where(is_last, 4, frame_threshold)
+        gate = (content_frames - frame) <= thr
+        ctx_full = cur_len + 1 >= dims.n_text_ctx
+        cap = (k + 1) > max_new
+
+        stop_keep_k = completed | gate        # drop the new token, keep others
+        stop_keep_0 = do_rewind | nospeech_stop | cap
+        stop_keep_k1 = ctx_full & ~stop_keep_k & ~stop_keep_0
+        stopped_now = (stop_keep_k | stop_keep_0 | stop_keep_k1) & s["active"]
+
+        reason = s["reason"]
+        reason = jnp.where(stopped_now & completed, STOP_EOT, reason)
+        reason = jnp.where(stopped_now & gate & ~completed, STOP_GATE, reason)
+        reason = jnp.where(stopped_now & do_rewind, STOP_REWIND, reason)
+        reason = jnp.where(stopped_now & nospeech_stop, STOP_NOSPEECH, reason)
+        reason = jnp.where(stopped_now & cap, STOP_CAP, reason)
+        reason = jnp.where(stopped_now & stop_keep_k1, STOP_CTX, reason)
+
+        n_keep = jnp.where(
+            s["active"],
+            jnp.where(
+                stop_keep_0, 0,
+                jnp.where(stop_keep_k, k, jnp.where(stop_keep_k1, k + 1, k + 1)),
+            ),
+            s["n_keep"],
+        )
+
+        keep_writing = s["active"]
+        tokens = s["tokens"].at[jnp.arange(B), jnp.minimum(cur_len, dims.n_text_ctx - 1)].set(
+            jnp.where(keep_writing, tok, s["tokens"][jnp.arange(B), jnp.minimum(cur_len, dims.n_text_ctx - 1)])
+        )
+        new_tokens = s["new_tokens"].at[:, k].set(jnp.where(keep_writing, tok, eot))
+
+        active = s["active"] & ~stopped_now
+        last_attend_out = jnp.where(s["active"], new_last_attend, s["last_attend"])
+
+        # ---- decode the sampled token (produces attn row + next logits) ----
+        new_logits, step_aprobs, cache = wm.decode(
+            params,
+            tok[:, None],
+            jnp.minimum(cur_len, dims.n_text_ctx - 1),
+            xkv,
+            s["cache"],
+            dims,
+            align=align,
+        )
+        step_row = step_aprobs.transpose(1, 0, 2, 3)[:, :, 0, :]  # [B,K,T]
+        upd = active.astype(jnp.float32)[:, None, None]
+        asum = s["asum"] + step_row * upd
+        asq = s["asq"] + step_row * step_row * upd
+        acount = s["acount"] + active.astype(jnp.float32)
+        last_row_n = jnp.where(active[:, None, None], step_row, s["last_row"])
+
+        return dict(
+            cache=cache,
+            tokens=tokens,
+            logits=new_logits[:, 0],
+            k=k + 1,
+            active=active,
+            n_keep=n_keep,
+            reason=reason,
+            new_tokens=new_tokens,
+            frames=frames,
+            asum=asum,
+            asq=asq,
+            acount=acount,
+            last_row=last_row_n,
+            last_attend=last_attend_out,
+        )
+
+    out = jax.lax.while_loop(cond, body, init)
+    # lanes still active at loop exhaustion keep everything they decoded
+    reason = jnp.where(out["active"], STOP_CAP, out["reason"])
+    n_keep = jnp.where(out["active"], jnp.zeros_like(out["n_keep"]), out["n_keep"])
+    return (
+        out["new_tokens"],
+        n_keep,
+        out["frames"],
+        reason,
+        no_speech_p,
+        out["last_attend"],
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shared engine + per-session state (host)
+# ---------------------------------------------------------------------------
+
+
+class AlignAttEngine:
+    """Shared compiled engine: params + static config; sessions share it."""
+
+    PREFIX_BUCKETS = (64, 128, 256, 384)
+
+    def __init__(
+        self,
+        params,
+        dims: ModelDimensions,
+        tokenizer: Tokenizer,
+        cfg: AlignAttConfig,
+        model_name: Optional[str] = None,
+        align_pairs=None,
+    ):
+        self.params = params
+        self.dims = dims
+        self.tokenizer = tokenizer
+        self.cfg = cfg
+        pairs = align_pairs or default_alignment_heads(dims, model_name)
+        arr = np.asarray(pairs, np.int32).reshape(-1, 2)
+        self.align_layers = jnp.asarray(arr[:, 0])
+        self.align_heads = jnp.asarray(arr[:, 1])
+        self.suppress_mask = jnp.asarray(self._build_suppress_mask(tokenizer, dims))
+        self.prefix_buckets = tuple(
+            b for b in self.PREFIX_BUCKETS if b < dims.n_text_ctx
+        ) or (dims.n_text_ctx // 2,)
+
+    @staticmethod
+    def _build_suppress_mask(tokenizer: Tokenizer, dims: ModelDimensions) -> np.ndarray:
+        """Streaming suppression set (reference simul_whisper.py:161-172):
+        task/sot/lang/no_speech/no_timestamps tokens + all timestamps."""
+        mask = np.zeros(dims.n_vocab, np.float32)
+        ids = [
+            tokenizer.transcribe,
+            tokenizer.translate,
+            tokenizer.sot,
+            tokenizer.sot_prev,
+            tokenizer.sot_lm,
+            tokenizer.no_timestamps,
+        ]
+        ids += list(tokenizer.all_language_tokens)
+        if tokenizer.no_speech is not None:
+            ids.append(tokenizer.no_speech)
+        mask[sorted(set(i for i in ids if i < dims.n_vocab))] = -np.inf
+        # sot_sequence_including_notimestamps ⇒ timestamps never sampled
+        mask[tokenizer.timestamp_begin :] = -np.inf
+        return mask
+
+    def bucket_for(self, n: int) -> int:
+        for b in self.prefix_buckets:
+            if n <= b:
+                return b
+        return self.prefix_buckets[-1]
+
+
+class AlignAttSession:
+    """Per-session mutable state + the infer() host policy.
+
+    Equivalent of reference AlignAtt + DecoderState for one stream; all
+    tensor work happens in AlignAttEngine's compiled tick.
+    """
+
+    def __init__(self, engine: AlignAttEngine, tokenizer: Optional[Tokenizer] = None):
+        self.engine = engine
+        self.cfg = engine.cfg
+        self.tokenizer = tokenizer or engine.tokenizer
+        self.speaker: int = -1
+        self.global_time_offset = 0.0
+        self.detected_language: Optional[str] = None
+        self.first_timestamp: Optional[float] = None
+        self._reset_segment_state()
+        max_ctx = self.cfg.max_context_tokens
+        self.max_context_tokens = (
+            max_ctx if max_ctx is not None else engine.dims.n_text_ctx // 2
+        )
+        self.max_text_len = engine.dims.n_text_ctx
+
+    # ---- state management ----------------------------------------------------
+
+    def _reset_segment_state(self) -> None:
+        self.segments: List[np.ndarray] = []
+        self.committed_tokens: List[List[int]] = []  # per retained audio segment era
+        self.context = TokenBufferCtx(
+            self.tokenizer, prefix_token_ids=[self.tokenizer.sot_prev]
+        )
+        if self.cfg.static_init_prompt:
+            self.context.text = self.cfg.static_init_prompt
+        if self.cfg.init_prompt:
+            self.context.text += self.cfg.init_prompt
+        self.cumulative_time_offset = 0.0
+        self.last_attend_frame = -self.cfg.rewind_threshold
+        self.pending_incomplete_tokens: List[int] = []
+        self.pending_incomplete_token_timestamps: List[float] = []
+        self.pending_retries = 0
+
+    def refresh_segment(self, complete: bool = False) -> None:
+        keep = [] if (complete or len(self.segments) <= 2) else self.segments[-2:]
+        self._reset_segment_state()
+        self.segments = list(keep)
+
+    @property
+    def initial_tokens(self) -> List[int]:
+        return list(self.tokenizer.sot_sequence_including_notimestamps)
+
+    def segments_len(self) -> float:
+        return sum(s.shape[0] for s in self.segments) / SAMPLE_RATE
+
+    def insert_audio(self, segment: Optional[np.ndarray] = None) -> float:
+        """Append audio; evict oldest past audio_max_len, scrolling committed
+        tokens into the text context (reference simul_whisper.py:219-237)."""
+        if segment is not None:
+            self.segments.append(np.asarray(segment, np.float32))
+        removed = 0.0
+        total = self.segments_len()
+        while len(self.segments) > 1 and total > self.cfg.audio_max_len:
+            removed = self.segments[0].shape[0] / SAMPLE_RATE
+            total -= removed
+            self.last_attend_frame -= int(TOKENS_PER_SECOND * removed)
+            self.cumulative_time_offset += removed
+            self.segments = self.segments[1:]
+            if self.committed_tokens:
+                self.context.append_token_ids(self.committed_tokens[0])
+                self.committed_tokens = self.committed_tokens[1:]
+        return removed
+
+    def trim_context(self) -> None:
+        ctx_ids = self.context.as_token_ids()
+        c = len(ctx_ids) - len(self.context.prefix_token_ids)
+        committed = sum(len(t) for t in self.committed_tokens)
+        l = len(self.initial_tokens) + committed + c
+        after = len(self.cfg.static_init_prompt or "")
+        while c > self.max_context_tokens or l > self.max_text_len - 20:
+            t = self.context.trim_words(after=after)
+            l -= t
+            c -= t
+            if t == 0:
+                break
+
+    def _prefix_ids(self) -> Tuple[List[int], int]:
+        ids: List[int] = []
+        if not self.context.is_empty() or self.context.prefix_token_ids:
+            ctx = self.context.as_token_ids()
+            if len(ctx) > 1:  # skip bare sot_prev with no text
+                ids.extend(ctx)
+        sot_index = len(ids) + self.tokenizer.sot_sequence.index(self.tokenizer.sot)
+        ids.extend(self.initial_tokens)
+        for seg_tokens in self.committed_tokens:
+            ids.extend(seg_tokens)
+        return ids, sot_index
+
+    # ---- the per-tick inference ---------------------------------------------
+
+    def infer(self, is_last: bool = False) -> List[ASRToken]:
+        if not self.segments:
+            return []
+        if self.segments_len() < self.cfg.audio_min_len:
+            return []
+
+        eng = self.engine
+        dims = eng.dims
+        cfg = self.cfg
+
+        audio = np.concatenate(self.segments) if len(self.segments) > 1 else self.segments[0]
+        audio_s = len(audio) / SAMPLE_RATE
+        content_frames = int(len(audio) // 320)  # encoder frames (20 ms each)
+
+        mel = log_mel_spectrogram(
+            jnp.asarray(audio), n_mels=dims.n_mels, padding=N_SAMPLES - len(audio)
+        )
+        mel = pad_or_trim(mel, 3000)[None]
+
+        self._maybe_detect_language(mel)
+
+        self.trim_context()
+        prefix_ids, sot_index = self._prefix_ids()
+        p_max = eng.bucket_for(len(prefix_ids))
+        if len(prefix_ids) > p_max:
+            prefix_ids = prefix_ids[-p_max:]
+            sot_index = min(sot_index, p_max - 1)
+        prefix = np.full((1, p_max), self.tokenizer.eot, np.int32)
+        prefix[0, : len(prefix_ids)] = prefix_ids
+
+        max_new = max(50, int(audio_s * 15 * 1.5))
+
+        new_tokens, n_keep, frames, reason, no_speech_p, last_attend = alignatt_tick(
+            eng.params,
+            mel,
+            jnp.asarray(prefix),
+            jnp.asarray([len(prefix_ids)], jnp.int32),
+            jnp.asarray([sot_index], jnp.int32),
+            jnp.asarray([content_frames], jnp.int32),
+            jnp.asarray([self.last_attend_frame], jnp.int32),
+            jnp.asarray([is_last]),
+            jnp.asarray([max_new], jnp.int32),
+            eng.suppress_mask,
+            eng.align_layers,
+            eng.align_heads,
+            jnp.int32(cfg.frame_threshold),
+            jnp.int32(cfg.rewind_threshold),
+            jnp.float32(cfg.nonspeech_prob),
+            jnp.asarray([True]),
+            dims,
+            p_max,
+            cfg.max_steps,
+            self.tokenizer.eot,
+            self.tokenizer.timestamp_begin,
+            self.tokenizer.no_speech,
+            self.tokenizer.encode(" ")[0],
+        )
+        n = int(n_keep[0])
+        reason_code = int(reason[0])
+        self.last_attend_frame = int(last_attend[0])
+
+        kept = [int(t) for t in np.asarray(new_tokens[0, :n])]
+        step_frames = np.asarray(frames[0])
+        # timestamps: one per executed step; token i gets frame of step i
+        # (= attention of the previous token — reference off-by-one semantics,
+    	# align_att_base.py:240-247).
+        n_steps = max(n, 1)
+        timestamps = [
+            float(step_frames[min(i, cfg.max_steps - 1)]) * 0.02 + self.cumulative_time_offset
+            for i in range(n_steps)
+        ]
+
+        if reason_code == STOP_REWIND:
+            kept = []
+
+        tokens_to_split = kept
+        token_timestamps = self._normalize_ts(timestamps, len(tokens_to_split))
+        if self.pending_incomplete_tokens:
+            tokens_to_split = self.pending_incomplete_tokens + tokens_to_split
+            token_timestamps = (
+                self.pending_incomplete_token_timestamps + token_timestamps
+            )
+
+        fire_detected = not cfg.never_fire  # CIF absent ⇒ always_fire
+        new_hypothesis, split_words, split_tokens = self._split_tokens(
+            tokens_to_split, fire_detected, is_last
+        )
+
+        if new_hypothesis:
+            self.committed_tokens.append(list(new_hypothesis))
+
+        if len(timestamps) >= 2 and self.first_timestamp is None:
+            self.first_timestamp = timestamps[0]
+
+        words = self._build_timestamped_words(split_words, split_tokens, token_timestamps)
+        self._handle_pending(split_words, split_tokens, token_timestamps)
+        return words
+
+    def _maybe_detect_language(self, mel: jnp.ndarray) -> None:
+        if (
+            self.cfg.language == "auto"
+            and self.detected_language is None
+            and self.first_timestamp is not None
+            and self.segments_len() - self.first_timestamp >= 2.0
+        ):
+            from ..decoding.task import WhisperDecoder
+
+            dec = WhisperDecoder(self.engine.params, self.engine.dims)
+            enc = wm.encode_jit(self.engine.params, mel, self.engine.dims)
+            codes, probs = dec.detect_language(enc, self.tokenizer)
+            top = codes[0]
+            logger.info("Detected language: %s", top)
+            from ..models.whisper.tokenizer import get_tokenizer
+
+            self.tokenizer = get_tokenizer(
+                True,
+                num_languages=self.engine.dims.num_languages,
+                language=top,
+                task=self.cfg.task,
+            )
+            self.last_attend_frame = -self.cfg.rewind_threshold
+            self.cumulative_time_offset = 0.0
+            self.committed_tokens = []
+            self.context = TokenBufferCtx(
+                self.tokenizer, prefix_token_ids=[self.tokenizer.sot_prev]
+            )
+            self.detected_language = top
+
+    # ---- post-decode helpers (reference align_att_base.py:325-470) -----------
+
+    @staticmethod
+    def _normalize_ts(timestamps: List[float], expected: int) -> List[float]:
+        norm = [float(t) for t in timestamps[:expected]]
+        if len(norm) >= expected:
+            return norm
+        fallback = norm[-1] if norm else 0.0
+        return norm + [fallback] * (expected - len(norm))
+
+    def _split_tokens(self, tokens_list, fire_detected, is_last):
+        if fire_detected or is_last:
+            new_hypothesis = tokens_list
+            split_words, split_tokens = self.tokenizer.split_to_word_tokens(tokens_list)
+        else:
+            split_words, split_tokens = self.tokenizer.split_to_word_tokens(tokens_list)
+            if len(split_words) > 1:
+                new_hypothesis = [i for sub in split_tokens[:-1] for i in sub]
+            else:
+                new_hypothesis = []
+        return new_hypothesis, split_words, split_tokens
+
+    def _build_timestamped_words(self, split_words, split_tokens, token_timestamps):
+        MIN_WORD_DURATION = 0.02
+        FALLBACK_WORD_DURATION = 0.10
+        out: List[ASRToken] = []
+        ts_idx = 0
+        for word, wtoks in zip(split_words, split_tokens):
+            count = len(wtoks)
+            if "�" in word:
+                cleaned = word.replace("�", "")
+                if not cleaned.strip():
+                    ts_idx += count
+                    continue
+                word = cleaned
+            wts = token_timestamps[ts_idx : ts_idx + count]
+            if not wts:
+                fallback = (
+                    token_timestamps[min(ts_idx, len(token_timestamps) - 1)]
+                    if token_timestamps
+                    else 0.0
+                )
+                wts = [fallback]
+            start = wts[0]
+            nxt = ts_idx + count
+            if nxt < len(token_timestamps):
+                end = token_timestamps[nxt]
+            else:
+                end = wts[-1] + FALLBACK_WORD_DURATION
+            end = max(end, start + MIN_WORD_DURATION)
+            ts_idx += count
+            out.append(
+                ASRToken(
+                    start=round(start, 2),
+                    end=round(end, 2),
+                    text=word,
+                    speaker=self.speaker,
+                    detected_language=self.detected_language,
+                ).with_offset(self.global_time_offset)
+            )
+        return out
+
+    def _handle_pending(self, split_words, split_tokens, token_timestamps):
+        MAX_PENDING_TOKENS = 10
+        MAX_PENDING_RETRIES = 2
+        if split_words and "�" in split_words[-1]:
+            self.pending_retries += 1
+            if self.pending_retries > MAX_PENDING_RETRIES:
+                self.pending_incomplete_tokens = []
+                self.pending_incomplete_token_timestamps = []
+                self.pending_retries = 0
+            elif len(split_tokens[-1]) <= MAX_PENDING_TOKENS:
+                self.pending_incomplete_tokens = split_tokens[-1]
+                start_idx = sum(len(t) for t in split_tokens[:-1])
+                pend_ts = token_timestamps[start_idx : start_idx + len(split_tokens[-1])]
+                self.pending_incomplete_token_timestamps = self._normalize_ts(
+                    pend_ts, len(split_tokens[-1])
+                )
+            else:
+                self.pending_incomplete_tokens = []
+                self.pending_incomplete_token_timestamps = []
+                self.pending_retries = 0
+        else:
+            self.pending_incomplete_tokens = []
+            self.pending_incomplete_token_timestamps = []
+            self.pending_retries = 0
