@@ -1,0 +1,161 @@
+"""Driver benchmark: concurrent real-time streaming capacity of one chip.
+
+Measures the AlignAtt streaming tick (30 s-window encode + prefill + 8
+gated decode steps — exactly the per-second work of one live session) packed
+over B lanes in one device program, and reports the max number of concurrent
+real-time streams the chip sustains (tick time for B lanes ≤ 1 s of audio).
+
+Baseline: the reference has no multi-stream numbers; its best comparable
+figure is single-session compute-aware RTF 0.097 for faster-whisper
+SimulStreaming base on an H100 (BASELINE.md) ⇒ ~10.3 perfectly time-sliced
+real-time sessions. vs_baseline = streams / 10.3.
+
+Weights are random (no network in the bench environment); compute cost is
+weight-independent because the decode step count is pinned (gates disabled).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+MODEL = "base"
+TICK_SECONDS = 1.0      # audio consumed per tick per lane
+DECODE_STEPS = 8        # pinned decode work per tick (~ realistic token rate)
+PREFIX_BUCKET = 64
+EOT = 50257
+TS_BEGIN = 50364
+NO_SPEECH = 50362
+SPACE = 220
+
+
+def build_tick(dims, params):
+    from whisperlivekit_tpu.models.whisper.dims import default_alignment_heads
+    from whisperlivekit_tpu.streaming.alignatt import alignatt_tick
+
+    pairs = default_alignment_heads(dims, MODEL)
+    align_layers = jnp.asarray(np.asarray(pairs, np.int32)[:, 0])
+    align_heads = jnp.asarray(np.asarray(pairs, np.int32)[:, 1])
+    suppress = np.zeros(dims.n_vocab, np.float32)
+    suppress[TS_BEGIN:] = -np.inf
+    suppress_mask = jnp.asarray(suppress)
+
+    def tick(mel, prefix, prefix_len, content_frames, last_attend):
+        B = mel.shape[0]
+        return alignatt_tick(
+            params,
+            mel,
+            prefix,
+            prefix_len,
+            jnp.zeros((B,), jnp.int32),          # sot_index
+            content_frames,
+            last_attend,
+            jnp.zeros((B,), bool),               # is_last
+            jnp.full((B,), 10**6, jnp.int32),    # max_new: cap disabled
+            suppress_mask,
+            align_layers,
+            align_heads,
+            jnp.int32(-(10**9)),                 # frame_threshold: gate never fires
+            jnp.int32(10**9),                    # rewind_threshold: never rewinds
+            jnp.float32(2.0),                    # nonspeech_prob: never stops
+            jnp.ones((B,), bool),
+            dims,
+            PREFIX_BUCKET,
+            DECODE_STEPS,
+            EOT,
+            TS_BEGIN,
+            NO_SPEECH,
+            SPACE,
+        )
+
+    return tick
+
+
+def make_inputs(dims, B, rng):
+    from whisperlivekit_tpu.audio.mel import N_SAMPLES, log_mel_spectrogram, pad_or_trim
+
+    audio = (0.1 * rng.standard_normal((B, 16000 * 30))).astype(np.float32)
+    mel = pad_or_trim(
+        log_mel_spectrogram(jnp.asarray(audio), n_mels=dims.n_mels), 3000
+    )
+    prefix = np.full((B, PREFIX_BUCKET), EOT, np.int32)
+    prefix[:, 0] = 50258  # sot
+    prefix[:, 1] = 50259  # <|en|>
+    prefix[:, 2] = 50359  # transcribe
+    prefix[:, 3] = 50363  # notimestamps
+    prefix[:, 4:20] = rng.integers(100, 40000, (B, 16))
+    return (
+        mel,
+        jnp.asarray(prefix),
+        jnp.full((B,), 20, jnp.int32),
+        jnp.full((B,), 1500, jnp.int32),
+        jnp.full((B,), -200, jnp.int32),
+    )
+
+
+def time_tick(tick, inputs, iters=4) -> float:
+    # Sync via host readback of the per-lane outputs: block_until_ready is
+    # unreliable on the axon platform, and the real pipeline reads tokens
+    # back every tick anyway, so this is the honest per-tick latency.
+    out = tick(*inputs)
+    np.asarray(out[1])  # warmup + compile
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = tick(*inputs)
+        np.asarray(out[1])
+    return (time.perf_counter() - t0) / iters
+
+
+def main() -> None:
+    sys.path.insert(0, ".")
+    from whisperlivekit_tpu.models.whisper import model as wm
+    from whisperlivekit_tpu.models.whisper.dims import MODEL_DIMS
+
+    dims = MODEL_DIMS[MODEL]
+    params = wm.init_params(dims, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+    tick = build_tick(dims, params)
+    rng = np.random.default_rng(0)
+
+    best_streams = 0.0
+    best_B = 0
+    results = {}
+    for B in (1, 4, 8, 16, 32, 64, 96, 128):
+        try:
+            inputs = make_inputs(dims, B, rng)
+            dt = time_tick(tick, inputs)
+        except Exception as e:  # OOM or compile failure at this width
+            print(f"B={B}: failed ({type(e).__name__})", file=sys.stderr)
+            break
+        streams = B * TICK_SECONDS / dt if dt > 0 else 0.0
+        sustainable = B if dt <= TICK_SECONDS else B * TICK_SECONDS / dt
+        results[B] = dt
+        print(f"B={B}: tick={dt*1e3:.1f} ms  throughput={streams:.1f} streams", file=sys.stderr)
+        if sustainable > best_streams:
+            best_streams, best_B = sustainable, B
+        if dt > TICK_SECONDS:
+            break
+
+    baseline_streams = 1.0 / 0.097  # reference H100 single-session RTF, base
+    print(
+        json.dumps(
+            {
+                "metric": f"concurrent_realtime_streams_per_chip_whisper_{MODEL}",
+                "value": round(best_streams, 1),
+                "unit": "streams",
+                "vs_baseline": round(best_streams / baseline_streams, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,262 @@
+"""TranscriptionEngine: the shared, load-once model state + per-session factories.
+
+Reference parity: core.py:37-361 — thread-safe double-checked-lock singleton
+holding the expensive state (Whisper params on TPU, VAD model, diarization,
+translation), with ``online_factory`` / ``online_diarization_factory`` /
+``online_translation_factory`` creating cheap per-session processors.
+
+Weight resolution: real checkpoints via models.whisper.load (HF/OpenAI/LoRA);
+``--model-path random`` (or a "random:<size>" model size) initializes random
+weights with the catalog dimensions — the CI/bench path on hosts without
+downloaded checkpoints (weights don't change compute speed).
+"""
+
+from __future__ import annotations
+
+import logging
+import threading
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..config import WLKConfig
+from ..models.whisper import model as wm
+from ..models.whisper.dims import MODEL_DIMS, ModelDimensions
+from ..models.whisper.load import load_model
+from ..models.whisper.tokenizer import get_tokenizer
+
+logger = logging.getLogger(__name__)
+
+
+def _dtype_from_str(name: str):
+    return {"bfloat16": jnp.bfloat16, "float32": jnp.float32, "float16": jnp.float16}[name]
+
+
+def load_whisper_params(config: WLKConfig):
+    """Resolve + load whisper weights per config. Returns (params, dims, name)."""
+    dtype = _dtype_from_str(config.param_dtype)
+    size = config.model_size
+    path = config.model_path or config.model_dir
+
+    if (path and str(path).startswith("random")) or size.startswith("random"):
+        spec = size.split(":", 1)[-1] if ":" in size else ("base" if size.startswith("random") else size)
+        if path and ":" in str(path):
+            spec = str(path).split(":", 1)[1]
+        dims = MODEL_DIMS.get(spec, MODEL_DIMS["base"])
+        logger.warning("Initializing RANDOM weights (%s dims) — bench/CI mode", spec)
+        params = wm.init_params(dims, jax.random.PRNGKey(0), dtype=dtype)
+        return params, dims, spec
+
+    target = path or size
+    return load_model(target, dtype=dtype, lora_path=config.lora_path,
+                      cache_dir=config.model_cache_dir)
+
+
+class SimulStreamingASR:
+    """Backend holder for the AlignAtt policy (reference simul_whisper/backend.py:289-566)."""
+
+    sep = ""
+
+    def __init__(self, config: WLKConfig, params, dims: ModelDimensions, model_name):
+        from ..streaming.alignatt import AlignAttConfig, AlignAttEngine
+
+        self.config = config
+        self.dims = dims
+        language = config.lan if config.lan != "auto" else "auto"
+        tok_lang = language if language != "auto" else "en"
+        task = "translate" if config.direct_english_translation else "transcribe"
+        self.tokenizer = get_tokenizer(
+            dims.multilingual,
+            num_languages=dims.num_languages,
+            language=tok_lang if dims.multilingual else None,
+            task=task if dims.multilingual else None,
+        )
+        align_pairs = None
+        if config.custom_alignment_heads:
+            idx = [int(x) for x in str(config.custom_alignment_heads).split(",") if x.strip()]
+            align_pairs = [(i // dims.n_text_head, i % dims.n_text_head) for i in idx]
+        self.cfg = AlignAttConfig(
+            segment_length=config.min_chunk_size,
+            frame_threshold=config.frame_threshold,
+            audio_max_len=config.audio_max_len,
+            audio_min_len=config.audio_min_len,
+            language=language,
+            task=task,
+            decoder_type=config.decoder_type or ("beam" if config.beams > 1 else "greedy"),
+            beam_size=config.beams,
+            init_prompt=config.init_prompt,
+            static_init_prompt=config.static_init_prompt,
+            max_context_tokens=config.max_context_tokens,
+            never_fire=config.never_fire,
+            cif_ckpt_path=config.cif_ckpt_path,
+        )
+        self.engine = AlignAttEngine(
+            params, dims, self.tokenizer, self.cfg, model_name=model_name,
+            align_pairs=align_pairs,
+        )
+
+
+class LocalAgreementASR:
+    """Backend holder for the LocalAgreement policy — wraps the batch decoder."""
+
+    sep = " "
+
+    def __init__(self, config: WLKConfig, params, dims: ModelDimensions, model_name):
+        from ..decoding.task import WhisperDecoder
+        from ..streaming.local_agreement import JAXWhisperASR
+
+        self.config = config
+        self.dims = dims
+        self.decoder = WhisperDecoder(params, dims)
+        self.asr = JAXWhisperASR(
+            self.decoder,
+            language=config.lan,
+            model_name=model_name,
+            buffer_trimming=config.buffer_trimming,
+            buffer_trimming_sec=config.buffer_trimming_sec,
+            confidence_validation=config.confidence_validation,
+            beam_size=config.beams if config.beams > 1 else None,
+        )
+
+
+class TranscriptionEngine:
+    """Thread-safe singleton (reference core.py:37-79)."""
+
+    _instance: Optional["TranscriptionEngine"] = None
+    _lock = threading.Lock()
+
+    def __new__(cls, *args, **kwargs):
+        if cls._instance is None:
+            with cls._lock:
+                if cls._instance is None:
+                    inst = super().__new__(cls)
+                    inst._initialized = False
+                    cls._instance = inst
+        return cls._instance
+
+    @classmethod
+    def reset(cls) -> None:
+        with cls._lock:
+            cls._instance = None
+
+    def __init__(self, config: Optional[WLKConfig] = None, **kwargs):
+        if self._initialized:
+            return
+        with self._lock:
+            if self._initialized:
+                return
+            if config is None:
+                config = WLKConfig.from_kwargs(**kwargs)
+            self._do_init(config)
+            self._initialized = True
+
+    def _do_init(self, config: WLKConfig) -> None:
+        self.config = config
+        self.args = config  # reference exposes config as .args (core.py:97)
+        self.asr: Any = None
+        self.vac_model = None
+        self.diarization_model = None
+        self.translation_model = None
+
+        if config.transcription:
+            params, dims, name = load_whisper_params(config)
+            if config.backend_policy == "localagreement":
+                self.asr = LocalAgreementASR(config, params, dims, name)
+            else:
+                self.asr = SimulStreamingASR(config, params, dims, name)
+            logger.info(
+                "Loaded whisper %s (%d-layer enc / %d-layer dec, %s) policy=%s",
+                name, dims.n_audio_layer, dims.n_text_layer, config.param_dtype,
+                config.backend_policy,
+            )
+
+        if config.vac:
+            from ..audio.vad import load_vad_model
+
+            self.vac_model = load_vad_model()
+
+        if config.diarization:
+            from ..diarization import load_diarization_model
+
+            self.diarization_model = load_diarization_model(config)
+
+        if config.target_language:
+            from ..translation import load_translation_model
+
+            self.translation_model = load_translation_model(config)
+
+        if config.warmup_file:
+            self.warmup(config.warmup_file)
+
+    def warmup(self, path: str) -> None:
+        """One real inference at startup; raises if broken (reference
+        warmup.py:51-61 fail-loud guard)."""
+        import numpy as np
+
+        from ..audio.io import load_audio
+
+        audio = load_audio(path)[: 16000 * 5]
+        proc = online_factory(self.config, self.asr)
+        if hasattr(proc, "warmup"):
+            proc.warmup(audio)
+        else:
+            proc.insert_audio_chunk(np.asarray(audio), len(audio) / 16000)
+            proc.process_iter()
+        logger.info("Warmup inference OK")
+
+
+# ---------------------------------------------------------------------------
+# Per-session factories (reference core.py:292-361)
+# ---------------------------------------------------------------------------
+
+
+def online_factory(config: WLKConfig, asr, language: Optional[str] = None):
+    if isinstance(asr, LocalAgreementASR):
+        from ..streaming.local_agreement import OnlineASRProcessor
+
+        backend = asr.asr
+        if language and language != config.lan:
+            import copy
+
+            backend = copy.copy(backend)
+            backend.original_language = None if language == "auto" else language
+        proc = OnlineASRProcessor(backend)
+        proc.asr = backend
+        return proc
+
+    from ..streaming.simul_processor import SimulStreamingOnlineProcessor
+
+    tokenizer = None
+    if language and language not in ("auto", config.lan):
+        tokenizer = get_tokenizer(
+            asr.dims.multilingual,
+            num_languages=asr.dims.num_languages,
+            language=language,
+            task=asr.cfg.task,
+        )
+    return SimulStreamingOnlineProcessor(asr.engine, tokenizer=tokenizer)
+
+
+def online_diarization_factory(config: WLKConfig, diarization_model):
+    if diarization_model is None:
+        return None
+    return diarization_model.new_session()
+
+
+def online_translation_factory(config: WLKConfig, translation_model):
+    if translation_model is None:
+        return None
+    return translation_model.new_session(
+        src=config.lan if config.lan != "auto" else "en",
+        tgt=config.target_language,
+    )
+
+
+def session_translation_factory(config: WLKConfig, translation_model, target_language: str):
+    if translation_model is None:
+        return None
+    return translation_model.new_session(
+        src=config.lan if config.lan != "auto" else "en",
+        tgt=target_language,
+    )

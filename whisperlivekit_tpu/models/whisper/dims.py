@@ -69,6 +69,9 @@ MODEL_DIMS: Dict[str, ModelDimensions] = {
     "large": _dims(1280, 20, 32, 32, n_mels=128, n_vocab=51866),
     "large-v3-turbo": _dims(1280, 20, 32, 4, n_mels=128, n_vocab=51866),
     "turbo": _dims(1280, 20, 32, 4, n_mels=128, n_vocab=51866),
+    # CI/dev-only: full-length audio context with a miniature transformer so
+    # the whole pipeline compiles & runs fast on CPU. Not a real checkpoint.
+    "dev-tiny": _dims(64, 4, 2, 2),
 }
 
 #: HuggingFace repos serving each size (for the weight loader / `wlk pull`).

@@ -1,0 +1,144 @@
+"""Built-in web UI: mic capture → WS /asr → live transcript rendering.
+
+Compact functional equivalent of the reference frontend (reference
+web/live_transcription.{html,js,css} + web_interface.py): AudioWorklet PCM
+capture (or MediaRecorder WebM/Opus when the server decodes via ffmpeg),
+WS auto-reconnect with backoff, lines/speakers/silence/buffer/lag rendering.
+Served inline as one HTML document.
+"""
+
+INDEX_HTML = r"""<!doctype html>
+<html lang="en">
+<head>
+<meta charset="utf-8">
+<title>WhisperLiveKit-TPU — live transcription</title>
+<meta name="viewport" content="width=device-width, initial-scale=1">
+<style>
+  :root { color-scheme: light dark; --fg:#1a1a1a; --bg:#fafafa; --muted:#777;
+          --accent:#0a7cff; --line:#e4e4e4; }
+  @media (prefers-color-scheme: dark) {
+    :root { --fg:#eee; --bg:#111; --muted:#999; --line:#2a2a2a; } }
+  body { font-family: system-ui, sans-serif; margin:0; background:var(--bg);
+         color:var(--fg); display:flex; flex-direction:column; height:100vh; }
+  header { display:flex; gap:1rem; align-items:center; padding:.8rem 1.2rem;
+           border-bottom:1px solid var(--line); }
+  h1 { font-size:1rem; margin:0; font-weight:600; }
+  button { background:var(--accent); color:#fff; border:0; border-radius:2rem;
+           padding:.55rem 1.4rem; font-size:.95rem; cursor:pointer; }
+  button.recording { background:#e33; }
+  #status { color:var(--muted); font-size:.85rem; }
+  #lag { color:var(--muted); font-size:.8rem; margin-left:auto; }
+  main { flex:1; overflow-y:auto; padding:1.2rem; max-width:56rem; width:100%;
+         margin:0 auto; box-sizing:border-box; }
+  .line { margin:.45rem 0; line-height:1.5; }
+  .speaker { font-weight:600; color:var(--accent); margin-right:.5rem; }
+  .silence { color:var(--muted); font-style:italic; font-size:.85rem; }
+  .t { color:var(--muted); font-size:.75rem; margin-left:.5rem; }
+  #buffer { color:var(--muted); }
+  .translation { color:#3aa76d; font-size:.9rem; display:block; }
+</style>
+</head>
+<body>
+<header>
+  <h1>WhisperLiveKit-TPU</h1>
+  <button id="rec">Start</button>
+  <span id="status">idle</span>
+  <span id="lag"></span>
+</header>
+<main><div id="lines"></div><div id="buffer"></div></main>
+<script>
+const btn = document.getElementById('rec');
+const statusEl = document.getElementById('status');
+const lagEl = document.getElementById('lag');
+const linesEl = document.getElementById('lines');
+const bufferEl = document.getElementById('buffer');
+let ws = null, ctx = null, node = null, stream = null, recording = false;
+let useWorklet = true, retry = 0;
+
+const workletCode = `
+class PCMForwarder extends AudioWorkletProcessor {
+  process(inputs) {
+    const ch = inputs[0][0];
+    if (ch) this.port.postMessage(ch.slice(0));
+    return true;
+  }
+}
+registerProcessor('pcm-forwarder', PCMForwarder);`;
+
+function wsUrl() {
+  const proto = location.protocol === 'https:' ? 'wss:' : 'ws:';
+  const params = new URLSearchParams(location.search);
+  const qs = params.toString();
+  return proto + '//' + location.host + '/asr' + (qs ? '?' + qs : '');
+}
+
+function render(data) {
+  if (data.type === 'config') { useWorklet = !!data.useAudioWorklet; return; }
+  if (data.type === 'ready_to_stop') { statusEl.textContent = 'finished'; return; }
+  if (data.status === 'error') { statusEl.textContent = 'error: ' + (data.error||''); return; }
+  const lines = data.lines || [];
+  linesEl.innerHTML = lines.map(l => {
+    if (l.speaker === -2) return '<div class="line silence">… silence (' + l.start + ' → ' + l.end + ')</div>';
+    const spk = l.speaker > 0 ? '<span class="speaker">Speaker ' + l.speaker + '</span>' : '';
+    const tr = l.translation ? '<span class="translation">' + l.translation + '</span>' : '';
+    return '<div class="line">' + spk + (l.text||'') +
+           '<span class="t">' + l.start + '–' + l.end + '</span>' + tr + '</div>';
+  }).join('');
+  bufferEl.textContent = data.buffer_transcription || '';
+  const lag = data.remaining_time_transcription || 0;
+  lagEl.textContent = lag > 0.5 ? ('lag ' + lag.toFixed(1) + 's') : '';
+  window.scrollTo(0, document.body.scrollHeight);
+}
+
+function f32tos16(f32) {
+  const out = new Int16Array(f32.length);
+  for (let i = 0; i < f32.length; i++)
+    out[i] = Math.max(-32768, Math.min(32767, f32[i] * 32768));
+  return out.buffer;
+}
+
+async function start() {
+  stream = await navigator.mediaDevices.getUserMedia({audio: {channelCount:1}});
+  ws = new WebSocket(wsUrl());
+  ws.binaryType = 'arraybuffer';
+  ws.onmessage = e => render(JSON.parse(e.data));
+  ws.onclose = () => { if (recording) setTimeout(() => { retry++; start(); },
+                                                 Math.min(1000 * 2**retry, 15000)); };
+  await new Promise(res => ws.onopen = res);
+  retry = 0;
+
+  ctx = new AudioContext({sampleRate: 16000});
+  const blob = new Blob([workletCode], {type:'application/javascript'});
+  await ctx.audioWorklet.addModule(URL.createObjectURL(blob));
+  const src = ctx.createMediaStreamSource(stream);
+  node = new AudioWorkletNode(ctx, 'pcm-forwarder');
+  node.port.onmessage = e => {
+    if (ws && ws.readyState === 1) ws.send(f32tos16(e.data));
+  };
+  src.connect(node);
+  statusEl.textContent = 'recording';
+}
+
+async function stop() {
+  if (node) node.disconnect();
+  if (ctx) await ctx.close();
+  if (stream) stream.getTracks().forEach(t => t.stop());
+  if (ws && ws.readyState === 1) ws.send(new ArrayBuffer(0));
+  statusEl.textContent = 'stopping…';
+}
+
+btn.onclick = async () => {
+  recording = !recording;
+  btn.textContent = recording ? 'Stop' : 'Start';
+  btn.classList.toggle('recording', recording);
+  if (recording) { try { await start(); } catch (e) { statusEl.textContent = 'mic error: ' + e; } }
+  else await stop();
+};
+</script>
+</body>
+</html>
+"""
+
+
+def render_index() -> str:
+    return INDEX_HTML
