@@ -342,7 +342,16 @@ def main(argv=None) -> int:
         return 0
     else:
         cmd = "serve"  # default falls through to serve (reference cli.py:1667)
-    return globals()[f"cmd_{cmd}"](argv)
+    rc = globals()[f"cmd_{cmd}"](argv)
+    if cmd in ("transcribe", "run", "bench", "diagnose"):
+        # Offline commands: force exit so a wedged device thread (axon tunnel)
+        # can never hang the process after results were printed.
+        sys.stdout.flush()
+        sys.stderr.flush()
+        import os
+
+        os._exit(rc or 0)
+    return rc
 
 
 if __name__ == "__main__":

@@ -189,6 +189,23 @@ class TranscriptionEngine:
         if config.warmup_file:
             self.warmup(config.warmup_file)
 
+    def warmup_synthetic(self) -> None:
+        """Compile the streaming tick before the first session (fail-loud,
+        reference warmup.py:51-61): one infer over synthetic audio so the
+        first client never waits on XLA compilation."""
+        import numpy as np
+
+        if self.asr is None:
+            return
+        proc = online_factory(self.config, self.asr)
+        audio = np.zeros(16000, np.float32)
+        if hasattr(proc, "warmup"):
+            proc.warmup(audio)
+        else:
+            proc.insert_audio_chunk(audio, 1.0)
+            proc.process_iter()
+        logger.info("Engine warmup complete (streaming tick compiled)")
+
     def warmup(self, path: str) -> None:
         """One real inference at startup; raises if broken (reference
         warmup.py:51-61 fail-loud guard)."""

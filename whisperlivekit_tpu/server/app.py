@@ -139,6 +139,11 @@ class WLKServer:
         if self.engine is None:
             self.engine = TranscriptionEngine(self.config)
             logger.info("TranscriptionEngine initialized")
+        try:
+            self.engine.warmup_synthetic()
+        except Exception:
+            logger.exception("engine warmup FAILED — inference is likely broken")
+            raise
 
     # ---- endpoints ----------------------------------------------------------
 
@@ -313,8 +318,8 @@ class WLKServer:
                 from ..audio.io import resample
 
                 return float32_to_s16le(resample(audio, sr))
-        except wave.Error:
-            pass
+        except (wave.Error, EOFError, ValueError):
+            pass  # not a (valid) WAV; try ffmpeg below
         if not ffmpeg_available():
             raise web.HTTPBadRequest(
                 reason="unsupported audio container (ffmpeg not installed; send WAV)"

@@ -46,6 +46,18 @@ SENTINEL = object()
 MIN_DURATION_REAL_SILENCE = 5.0  # reference audio_processor.py:26
 
 
+def _inline_inference_default() -> bool:
+    """The axon TPU tunnel wedges when jax is dispatched from worker threads;
+    run inference inline on the event loop there (the device call dominates
+    anyway). Overridable via WLK_INLINE_INFERENCE=0/1."""
+    import os
+
+    env = os.environ.get("WLK_INLINE_INFERENCE")
+    if env is not None:
+        return env not in ("0", "false", "")
+    return os.environ.get("JAX_PLATFORMS", "") == "axon"
+
+
 async def get_all_from_queue(queue: asyncio.Queue):
     """Wait for one item, then greedily concat contiguous PCM chunks
     (reference audio_processor.py:28-52)."""
@@ -164,6 +176,13 @@ class AudioProcessor:
 
         self._any_asr_output = False
         self._silent_backend_warned = False
+        self._inline_inference = _inline_inference_default()
+
+    async def _infer(self, fn, *args):
+        """Run a blocking inference callable per the platform threading policy."""
+        if self._inline_inference:
+            return fn(*args)
+        return await asyncio.to_thread(fn, *args)
 
     # ------------------------------------------------------------------
     # Translation queueing (incl. translate-on-complete, reference :175-246)
@@ -408,11 +427,9 @@ class AudioProcessor:
             return
         try:
             if hasattr(self.transcription, "finish"):
-                final_tokens, end_time = await asyncio.to_thread(self.transcription.finish)
+                final_tokens, end_time = await self._infer(self.transcription.finish)
             else:
-                final_tokens, end_time = await asyncio.to_thread(
-                    self.transcription.start_silence
-                )
+                final_tokens, end_time = await self._infer(self.transcription.start_silence)
             final_tokens = final_tokens or []
             _buffer_transcript = self.transcription.get_buffer()
             if (
@@ -489,7 +506,7 @@ class AudioProcessor:
 
                 if isinstance(item, Silence):
                     if item.is_starting:
-                        new_tokens, current_audio_processed_upto = await asyncio.to_thread(
+                        new_tokens, current_audio_processed_upto = await self._infer(
                             self.transcription.start_silence
                         )
                     if item.has_ended:
@@ -511,7 +528,7 @@ class AudioProcessor:
                     stream_time_end = cumulative_pcm_duration_stream_time
                     self.transcription.insert_audio_chunk(item, stream_time_end)
                     _t0 = time()
-                    new_tokens, current_audio_processed_upto = await asyncio.to_thread(
+                    new_tokens, current_audio_processed_upto = await self._infer(
                         self.transcription.process_iter
                     )
                     self.metrics.transcription_durations.append(time() - _t0)
@@ -645,7 +662,7 @@ class AudioProcessor:
                     )
                 else:
                     self.translation.insert_tokens(item)
-                    new_translation, new_translation_buffer = await asyncio.to_thread(
+                    new_translation, new_translation_buffer = await self._infer(
                         self.translation.process
                     )
                 if new_translation is not None:

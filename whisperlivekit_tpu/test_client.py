@@ -79,7 +79,9 @@ async def transcribe_audio(
     pcm = load_audio_pcm(path)
     result = TranscriptionResult()
 
-    async with websockets.connect(full_url, max_size=None) as ws:
+    # ping_timeout=None: the server may stall its loop during first-time XLA
+    # compilation; don't let keepalive kill the session.
+    async with websockets.connect(full_url, max_size=None, ping_timeout=None) as ws:
 
         async def receiver():
             async for raw in ws:
