@@ -1,0 +1,116 @@
+"""Batch scheduler: lane isolation + packing behavior.
+
+Lane-isolation is the load-bearing property: a session's results must be
+identical whether its tick runs alone or packed with other sessions.
+"""
+
+import asyncio
+
+import numpy as np
+import pytest
+
+import jax
+
+from conftest import reference_asset
+from whisperlivekit_tpu.models.whisper import model as M
+from whisperlivekit_tpu.models.whisper.dims import MODEL_DIMS
+from whisperlivekit_tpu.models.whisper.tokenizer import get_tokenizer
+from whisperlivekit_tpu.streaming.alignatt import (
+    AlignAttConfig,
+    AlignAttEngine,
+    AlignAttSession,
+    run_tick_batch,
+)
+
+pytestmark = pytest.mark.skipif(
+    reference_asset("whisperlivekit/whisper/assets/multilingual.tiktoken") is None,
+    reason="tokenizer vocab assets unavailable",
+)
+
+
+@pytest.fixture(scope="module")
+def engine():
+    dims = MODEL_DIMS["dev-tiny"]
+    params = M.init_params(dims, jax.random.PRNGKey(0))
+    tok = get_tokenizer(True, language="en", task="transcribe")
+    cfg = AlignAttConfig(language="en", max_steps=8)
+    return AlignAttEngine(params, dims, tok, cfg)
+
+
+def make_audio(seed, seconds=1.5):
+    rng = np.random.default_rng(seed)
+    t = np.arange(int(16000 * seconds)) / 16000
+    return (0.3 * np.sin(2 * np.pi * (180 + 40 * seed) * t)
+            + 0.05 * rng.standard_normal(t.shape)).astype(np.float32)
+
+
+def test_lane_isolation(engine):
+    """Batched tick results == single-lane tick results, per lane."""
+    sessions = []
+    tis = []
+    for seed in range(3):
+        s = AlignAttSession(engine)
+        s.insert_audio(make_audio(seed))
+        ti = s.prepare_tick(False)
+        assert ti is not None
+        sessions.append(s)
+        tis.append(ti)
+
+    # single-lane runs
+    solo = [run_tick_batch(engine, [ti], engine.tokenizer)[0] for ti in tis]
+    # packed run (3 lanes -> padded to 4)
+    packed = run_tick_batch(engine, tis, engine.tokenizer)
+
+    for a, b in zip(solo, packed):
+        assert a.n_keep == b.n_keep
+        assert a.new_tokens[: a.n_keep] == b.new_tokens[: b.n_keep]
+        assert a.reason == b.reason
+        assert a.last_attend == b.last_attend
+        np.testing.assert_array_equal(a.frames, b.frames)
+
+
+def test_scheduler_packs_concurrent_sessions(engine):
+    from whisperlivekit_tpu.engine.scheduler import BatchScheduler
+
+    async def main():
+        sched = BatchScheduler(engine, max_lanes=8, window_s=0.2, inline=False)
+
+        async def one_session(seed):
+            s = AlignAttSession(engine)
+            s.insert_audio(make_audio(seed))
+            ti = s.prepare_tick(False)
+            return await sched.submit(s, ti)
+
+        results = await asyncio.gather(*(one_session(i) for i in range(4)))
+        return sched.stats(), results
+
+    stats, results = asyncio.run(main())
+    assert stats["n_lanes_served"] == 4
+    # all four submitted within the window -> packed into few ticks
+    assert stats["n_ticks"] <= 2
+    assert all(isinstance(r, list) for r in results)
+
+
+def test_processor_uses_scheduler_async(engine):
+    from whisperlivekit_tpu.engine.scheduler import BatchScheduler
+    from whisperlivekit_tpu.streaming.simul_processor import SimulStreamingOnlineProcessor
+
+    async def main():
+        sched = BatchScheduler(engine, max_lanes=4, window_s=0.05, inline=False)
+        procs = [SimulStreamingOnlineProcessor(engine, scheduler=sched) for _ in range(3)]
+        for i, p in enumerate(procs):
+            p.insert_audio_chunk(make_audio(i + 10), 1.5)
+        outs = await asyncio.gather(*(p.process_iter_async() for p in procs))
+        return sched.stats(), outs
+
+    stats, outs = asyncio.run(main())
+    assert stats["n_lanes_served"] == 3
+    for tokens, upto in outs:
+        assert upto == pytest.approx(1.5)
+
+
+def test_no_async_attr_without_scheduler(engine):
+    from whisperlivekit_tpu.streaming.simul_processor import SimulStreamingOnlineProcessor
+
+    p = SimulStreamingOnlineProcessor(engine)
+    assert getattr(p, "process_iter_async", None) is None

@@ -159,12 +159,19 @@ class TranscriptionEngine:
         self.diarization_model = None
         self.translation_model = None
 
+        self.scheduler = None
         if config.transcription:
             params, dims, name = load_whisper_params(config)
             if config.backend_policy == "localagreement":
                 self.asr = LocalAgreementASR(config, params, dims, name)
             else:
                 self.asr = SimulStreamingASR(config, params, dims, name)
+                if config.scheduler:
+                    from .scheduler import BatchScheduler
+
+                    self.scheduler = BatchScheduler(
+                        self.asr.engine, max_lanes=config.max_batch_sessions
+                    )
             logger.info(
                 "Loaded whisper %s (%d-layer enc / %d-layer dec, %s) policy=%s",
                 name, dims.n_audio_layer, dims.n_text_layer, config.param_dtype,
@@ -228,7 +235,7 @@ class TranscriptionEngine:
 # ---------------------------------------------------------------------------
 
 
-def online_factory(config: WLKConfig, asr, language: Optional[str] = None):
+def online_factory(config: WLKConfig, asr, language: Optional[str] = None, scheduler=None):
     if isinstance(asr, LocalAgreementASR):
         from ..streaming.local_agreement import OnlineASRProcessor
 
@@ -252,7 +259,7 @@ def online_factory(config: WLKConfig, asr, language: Optional[str] = None):
             language=language,
             task=asr.cfg.task,
         )
-    return SimulStreamingOnlineProcessor(asr.engine, tokenizer=tokenizer)
+    return SimulStreamingOnlineProcessor(asr.engine, tokenizer=tokenizer, scheduler=scheduler)
 
 
 def online_diarization_factory(config: WLKConfig, diarization_model):

@@ -152,7 +152,12 @@ class AudioProcessor:
         self.diarization = None
         self.translation = None
         if self.args.transcription and engine.asr is not None:
-            self.transcription = online_factory(self.args, engine.asr, language=session_language)
+            self.transcription = online_factory(
+                self.args,
+                engine.asr,
+                language=session_language,
+                scheduler=getattr(engine, "scheduler", None),
+            )
             self.sep = engine.asr.sep
             self.tokens_alignment.sep = self.sep
         if self.args.diarization and engine.diarization_model is not None:
@@ -179,7 +184,13 @@ class AudioProcessor:
         self._inline_inference = _inline_inference_default()
 
     async def _infer(self, fn, *args):
-        """Run a blocking inference callable per the platform threading policy."""
+        """Run an inference callable: the scheduler's async variant when the
+        processor exposes one (``<name>_async``), else inline or in a worker
+        thread per the platform threading policy."""
+        owner = getattr(fn, "__self__", None)
+        async_fn = getattr(owner, fn.__name__ + "_async", None) if owner else None
+        if async_fn is not None:
+            return await async_fn(*args)
         if self._inline_inference:
             return fn(*args)
         return await asyncio.to_thread(fn, *args)

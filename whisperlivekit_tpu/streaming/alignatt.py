@@ -381,6 +381,114 @@ def alignatt_tick(
 
 
 # ---------------------------------------------------------------------------
+# Tick input/output records (host <-> device boundary)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class TickInputs:
+    """Per-lane host-assembled inputs for one streaming tick."""
+
+    mel: np.ndarray           # [n_mels, 3000]
+    prefix_ids: List[int]
+    sot_index: int
+    content_frames: int
+    last_attend: int
+    is_last: bool
+    max_new: int
+
+
+@dataclass
+class TickOutputs:
+    """Per-lane device outputs of one streaming tick."""
+
+    new_tokens: List[int]     # max_steps entries
+    n_keep: int
+    frames: np.ndarray        # [max_steps]
+    reason: int
+    no_speech_p: float
+    last_attend: int
+
+
+def run_tick_batch(engine: "AlignAttEngine", ticks: List[TickInputs], tokenizer) -> List[TickOutputs]:
+    """Pack N lanes into one device program and scatter the outputs.
+
+    Lane count is padded to a power of two and the prefix width to the
+    common bucket, so the set of compiled program shapes stays small.
+    """
+    n = len(ticks)
+    B = 1 << (n - 1).bit_length()  # next power of two
+    cfg = engine.cfg
+    dims = engine.dims
+    p_max = max(engine.bucket_for(len(t.prefix_ids)) for t in ticks)
+
+    mel = np.zeros((B, dims.n_mels, 3000), np.float32)
+    prefix = np.full((B, p_max), tokenizer.eot, np.int32)
+    prefix_len = np.ones(B, np.int32)
+    sot_index = np.zeros(B, np.int32)
+    content_frames = np.zeros(B, np.int32)
+    last_attend = np.zeros(B, np.int32)
+    is_last = np.zeros(B, bool)
+    max_new = np.ones(B, np.int32)
+    active = np.zeros(B, bool)
+
+    for i, t in enumerate(ticks):
+        mel[i] = t.mel
+        prefix[i, : len(t.prefix_ids)] = t.prefix_ids
+        prefix_len[i] = len(t.prefix_ids)
+        sot_index[i] = t.sot_index
+        content_frames[i] = t.content_frames
+        last_attend[i] = t.last_attend
+        is_last[i] = t.is_last
+        max_new[i] = t.max_new
+        active[i] = True
+
+    new_tokens, n_keep, frames, reason, no_speech_p, last_attend_out = alignatt_tick(
+        engine.params,
+        jnp.asarray(mel),
+        jnp.asarray(prefix),
+        jnp.asarray(prefix_len),
+        jnp.asarray(sot_index),
+        jnp.asarray(content_frames),
+        jnp.asarray(last_attend),
+        jnp.asarray(is_last),
+        jnp.asarray(max_new),
+        engine.suppress_mask,
+        engine.align_layers,
+        engine.align_heads,
+        jnp.int32(cfg.frame_threshold),
+        jnp.int32(cfg.rewind_threshold),
+        jnp.float32(cfg.nonspeech_prob),
+        jnp.asarray(active),
+        dims,
+        p_max,
+        cfg.max_steps,
+        tokenizer.eot,
+        tokenizer.timestamp_begin,
+        tokenizer.no_speech,
+        tokenizer.encode(" ")[0],
+    )
+    new_tokens = np.asarray(new_tokens)
+    n_keep = np.asarray(n_keep)
+    frames = np.asarray(frames)
+    reason = np.asarray(reason)
+    no_speech_p = np.asarray(no_speech_p)
+    last_attend_out = np.asarray(last_attend_out)
+
+    return [
+        TickOutputs(
+            new_tokens=[int(x) for x in new_tokens[i]],
+            n_keep=int(n_keep[i]),
+            frames=frames[i],
+            reason=int(reason[i]),
+            no_speech_p=float(no_speech_p[i]),
+            last_attend=int(last_attend_out[i]),
+        )
+        for i in range(n)
+    ]
+
+
+# ---------------------------------------------------------------------------
 # Shared engine + per-session state (host)
 # ---------------------------------------------------------------------------
 
@@ -537,15 +645,15 @@ class AlignAttSession:
 
     # ---- the per-tick inference ---------------------------------------------
 
-    def infer(self, is_last: bool = False) -> List[ASRToken]:
+    def prepare_tick(self, is_last: bool = False) -> Optional["TickInputs"]:
+        """Host phase 1: assemble per-lane device inputs, or None (no work)."""
         if not self.segments:
-            return []
+            return None
         if self.segments_len() < self.cfg.audio_min_len:
-            return []
+            return None
 
         eng = self.engine
         dims = eng.dims
-        cfg = self.cfg
 
         audio = np.concatenate(self.segments) if len(self.segments) > 1 else self.segments[0]
         audio_s = len(audio) / SAMPLE_RATE
@@ -554,52 +662,43 @@ class AlignAttSession:
         mel = log_mel_spectrogram(
             jnp.asarray(audio), n_mels=dims.n_mels, padding=N_SAMPLES - len(audio)
         )
-        mel = pad_or_trim(mel, 3000)[None]
+        mel = np.asarray(pad_or_trim(mel, 3000))
 
-        self._maybe_detect_language(mel)
+        self._maybe_detect_language(jnp.asarray(mel[None]))
 
         self.trim_context()
         prefix_ids, sot_index = self._prefix_ids()
-        p_max = eng.bucket_for(len(prefix_ids))
-        if len(prefix_ids) > p_max:
-            prefix_ids = prefix_ids[-p_max:]
-            sot_index = min(sot_index, p_max - 1)
-        prefix = np.full((1, p_max), self.tokenizer.eot, np.int32)
-        prefix[0, : len(prefix_ids)] = prefix_ids
+        p_need = eng.bucket_for(len(prefix_ids))
+        if len(prefix_ids) > p_need:
+            prefix_ids = prefix_ids[-p_need:]
+            sot_index = min(sot_index, p_need - 1)
 
-        max_new = max(50, int(audio_s * 15 * 1.5))
-
-        new_tokens, n_keep, frames, reason, no_speech_p, last_attend = alignatt_tick(
-            eng.params,
-            mel,
-            jnp.asarray(prefix),
-            jnp.asarray([len(prefix_ids)], jnp.int32),
-            jnp.asarray([sot_index], jnp.int32),
-            jnp.asarray([content_frames], jnp.int32),
-            jnp.asarray([self.last_attend_frame], jnp.int32),
-            jnp.asarray([is_last]),
-            jnp.asarray([max_new], jnp.int32),
-            eng.suppress_mask,
-            eng.align_layers,
-            eng.align_heads,
-            jnp.int32(cfg.frame_threshold),
-            jnp.int32(cfg.rewind_threshold),
-            jnp.float32(cfg.nonspeech_prob),
-            jnp.asarray([True]),
-            dims,
-            p_max,
-            cfg.max_steps,
-            self.tokenizer.eot,
-            self.tokenizer.timestamp_begin,
-            self.tokenizer.no_speech,
-            self.tokenizer.encode(" ")[0],
+        return TickInputs(
+            mel=mel,
+            prefix_ids=prefix_ids,
+            sot_index=sot_index,
+            content_frames=content_frames,
+            last_attend=self.last_attend_frame,
+            is_last=is_last,
+            max_new=max(50, int(audio_s * 15 * 1.5)),
         )
-        n = int(n_keep[0])
-        reason_code = int(reason[0])
-        self.last_attend_frame = int(last_attend[0])
 
-        kept = [int(t) for t in np.asarray(new_tokens[0, :n])]
-        step_frames = np.asarray(frames[0])
+    def infer(self, is_last: bool = False) -> List[ASRToken]:
+        ti = self.prepare_tick(is_last)
+        if ti is None:
+            return []
+        outs = run_tick_batch(self.engine, [ti], self.tokenizer)
+        return self.finish_tick(ti, outs[0])
+
+    def finish_tick(self, ti: "TickInputs", out: "TickOutputs") -> List[ASRToken]:
+        """Host phase 2: gate results → words, update session state."""
+        cfg = self.cfg
+        n = out.n_keep
+        reason_code = out.reason
+        self.last_attend_frame = out.last_attend
+
+        kept = list(out.new_tokens[:n])
+        step_frames = out.frames
         # timestamps: one per executed step; token i gets frame of step i
         # (= attention of the previous token — reference off-by-one semantics,
     	# align_att_base.py:240-247).
@@ -622,7 +721,7 @@ class AlignAttSession:
 
         fire_detected = not cfg.never_fire  # CIF absent ⇒ always_fire
         new_hypothesis, split_words, split_tokens = self._split_tokens(
-            tokens_to_split, fire_detected, is_last
+            tokens_to_split, fire_detected, ti.is_last
         )
 
         if new_hypothesis:

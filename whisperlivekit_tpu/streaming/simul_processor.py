@@ -35,9 +35,16 @@ class SimulStreamingOnlineProcessor:
     _RECENT_WORD_HISTORY = 80
     _MIN_REPETITION_WORDS = 12
 
-    def __init__(self, engine: AlignAttEngine, tokenizer=None):
+    def __init__(self, engine: AlignAttEngine, tokenizer=None, scheduler=None):
         self.engine = engine
         self.model = AlignAttSession(engine, tokenizer=tokenizer)
+        self.scheduler = scheduler  # BatchScheduler | None: batched device ticks
+        if scheduler is not None:
+            # async variants are discovered by AudioProcessor._infer via the
+            # "<name>_async" convention; only exposed when batching is on.
+            self.process_iter_async = self._process_iter_async
+            self.start_silence_async = self._start_silence_async
+            self.finish_async = self._start_silence_async
         self.end = 0.0
         self.buffer: List[ASRToken] = []
         self._last_committed_end = 0.0
@@ -163,6 +170,28 @@ class SimulStreamingOnlineProcessor:
     def process_iter(self, is_last: bool = False) -> Tuple[List[ASRToken], float]:
         try:
             timestamped_words = self.model.infer(is_last=is_last)
+        except Exception:
+            logger.exception("SimulStreaming processing error")
+            return [], self.end
+        return self._postprocess(timestamped_words)
+
+    async def _process_iter_async(self, is_last: bool = False) -> Tuple[List[ASRToken], float]:
+        """Scheduler path: this session's tick joins the packed device batch."""
+        try:
+            ti = self.model.prepare_tick(is_last)
+            if ti is None:
+                return [], self.end
+            timestamped_words = await self.scheduler.submit(self.model, ti)
+        except Exception:
+            logger.exception("SimulStreaming scheduled tick error")
+            return [], self.end
+        return self._postprocess(timestamped_words)
+
+    async def _start_silence_async(self) -> Tuple[List[ASRToken], float]:
+        return await self._process_iter_async(is_last=True)
+
+    def _postprocess(self, timestamped_words: List[ASRToken]) -> Tuple[List[ASRToken], float]:
+        try:
             if not timestamped_words:
                 return [], self.end
 
