@@ -173,7 +173,7 @@ def dry_penalty(logits: jnp.ndarray, tokens: jnp.ndarray, cur_len: jnp.ndarray, 
 )
 def alignatt_tick(
     params,
-    mel: jnp.ndarray,            # [B, n_mels, 3000]
+    audio: jnp.ndarray,          # [B, N_SAMPLES] zero-padded 16 kHz float32
     prefix: jnp.ndarray,         # [B, p_max] right-padded with eot
     prefix_len: jnp.ndarray,     # [B]
     sot_index: jnp.ndarray,      # [B]
@@ -199,11 +199,14 @@ def alignatt_tick(
     """One streaming tick for B lanes. Returns
     (new_tokens [B,max_steps], n_keep [B], frames [B,max_steps], reason [B],
     no_speech_prob [B], last_attend_out [B])."""
-    B = mel.shape[0]
+    B = audio.shape[0]
     align = wm.AlignSpec(layers=align_layers, heads=align_heads)
     K = align_layers.shape[0]
     T = dims.n_audio_ctx
 
+    # Front-end in-graph: one host->device transfer and zero extra dispatches
+    # per tick (the mel is never materialized on host).
+    mel = pad_or_trim(log_mel_spectrogram(audio, n_mels=dims.n_mels), 2 * T)
     enc = wm.encode(params, mel, dims)
     xkv = wm.cross_kv(params, enc, dims)
     cache = wm.init_cache(dims, B, dtype=params["decoder"]["tok_emb"].dtype)
@@ -389,7 +392,7 @@ def alignatt_tick(
 class TickInputs:
     """Per-lane host-assembled inputs for one streaming tick."""
 
-    mel: np.ndarray           # [n_mels, 3000]
+    audio: np.ndarray         # [N_SAMPLES] zero-padded float32
     prefix_ids: List[int]
     sot_index: int
     content_frames: int
@@ -422,7 +425,7 @@ def run_tick_batch(engine: "AlignAttEngine", ticks: List[TickInputs], tokenizer)
     dims = engine.dims
     p_max = max(engine.bucket_for(len(t.prefix_ids)) for t in ticks)
 
-    mel = np.zeros((B, dims.n_mels, 3000), np.float32)
+    audio = np.zeros((B, N_SAMPLES), np.float32)
     prefix = np.full((B, p_max), tokenizer.eot, np.int32)
     prefix_len = np.ones(B, np.int32)
     sot_index = np.zeros(B, np.int32)
@@ -433,7 +436,7 @@ def run_tick_batch(engine: "AlignAttEngine", ticks: List[TickInputs], tokenizer)
     active = np.zeros(B, bool)
 
     for i, t in enumerate(ticks):
-        mel[i] = t.mel
+        audio[i, : len(t.audio)] = t.audio
         prefix[i, : len(t.prefix_ids)] = t.prefix_ids
         prefix_len[i] = len(t.prefix_ids)
         sot_index[i] = t.sot_index
@@ -445,7 +448,7 @@ def run_tick_batch(engine: "AlignAttEngine", ticks: List[TickInputs], tokenizer)
 
     new_tokens, n_keep, frames, reason, no_speech_p, last_attend_out = alignatt_tick(
         engine.params,
-        jnp.asarray(mel),
+        jnp.asarray(audio),
         jnp.asarray(prefix),
         jnp.asarray(prefix_len),
         jnp.asarray(sot_index),
@@ -656,15 +659,11 @@ class AlignAttSession:
         dims = eng.dims
 
         audio = np.concatenate(self.segments) if len(self.segments) > 1 else self.segments[0]
+        audio = audio[:N_SAMPLES]  # first 30 s, like reference pad_or_trim(3000)
         audio_s = len(audio) / SAMPLE_RATE
         content_frames = int(len(audio) // 320)  # encoder frames (20 ms each)
 
-        mel = log_mel_spectrogram(
-            jnp.asarray(audio), n_mels=dims.n_mels, padding=N_SAMPLES - len(audio)
-        )
-        mel = np.asarray(pad_or_trim(mel, 3000))
-
-        self._maybe_detect_language(jnp.asarray(mel[None]))
+        self._maybe_detect_language(audio)
 
         self.trim_context()
         prefix_ids, sot_index = self._prefix_ids()
@@ -674,7 +673,7 @@ class AlignAttSession:
             sot_index = min(sot_index, p_need - 1)
 
         return TickInputs(
-            mel=mel,
+            audio=audio,
             prefix_ids=prefix_ids,
             sot_index=sot_index,
             content_frames=content_frames,
@@ -734,7 +733,7 @@ class AlignAttSession:
         self._handle_pending(split_words, split_tokens, token_timestamps)
         return words
 
-    def _maybe_detect_language(self, mel: jnp.ndarray) -> None:
+    def _maybe_detect_language(self, audio: np.ndarray) -> None:
         if (
             self.cfg.language == "auto"
             and self.detected_language is None
@@ -744,6 +743,13 @@ class AlignAttSession:
             from ..decoding.task import WhisperDecoder
 
             dec = WhisperDecoder(self.engine.params, self.engine.dims)
+            mel = pad_or_trim(
+                log_mel_spectrogram(
+                    jnp.asarray(audio), n_mels=self.engine.dims.n_mels,
+                    padding=N_SAMPLES - len(audio),
+                ),
+                2 * self.engine.dims.n_audio_ctx,
+            )[None]
             enc = wm.encode_jit(self.engine.params, mel, self.engine.dims)
             codes, probs = dec.detect_language(enc, self.tokenizer)
             top = codes[0]
