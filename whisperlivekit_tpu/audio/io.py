@@ -19,14 +19,18 @@ from .mel import SAMPLE_RATE
 
 
 def s16le_to_float32(data: bytes | np.ndarray) -> np.ndarray:
-    """Convert signed 16-bit little-endian PCM to float32 in [-1, 1)."""
-    arr = np.frombuffer(data, dtype="<i2") if isinstance(data, (bytes, bytearray)) else data
-    return arr.astype(np.float32) / 32768.0
+    """Convert signed 16-bit little-endian PCM to float32 in [-1, 1).
+
+    Uses the native pcm_runtime when built (per-chunk hot path)."""
+    from .. import native
+
+    return native.s16le_to_f32(data)
 
 
 def float32_to_s16le(audio: np.ndarray) -> bytes:
-    clipped = np.clip(audio, -1.0, 1.0 - 1.0 / 32768.0)
-    return (clipped * 32768.0).astype("<i2").tobytes()
+    from .. import native
+
+    return native.f32_to_s16le(np.asarray(audio))
 
 
 def resample(audio: np.ndarray, orig_sr: int, target_sr: int = SAMPLE_RATE) -> np.ndarray:

@@ -90,7 +90,7 @@ class EnergyDiarization:
         self.buffer = np.zeros(0, np.float32)
 
 
-def load_diarization_model(config) -> _SharedEnergyDiarization:
+def load_diarization_model(config):
     backend = getattr(config, "diarization_backend", "sortformer")
     if backend == "sortformer":
         try:
@@ -98,5 +98,12 @@ def load_diarization_model(config) -> _SharedEnergyDiarization:
 
             return load_sortformer(config)
         except Exception as e:
-            logger.warning("Sortformer unavailable (%s); using energy diarization", e)
+            logger.warning(
+                "Sortformer unavailable (%s); using embedding diarization", e
+            )
+            backend = "embedding"
+    if backend == "embedding":
+        from .embedding import load_embedding_diarization
+
+        return load_embedding_diarization(config)
     return _SharedEnergyDiarization()

@@ -313,7 +313,9 @@ class AudioProcessor:
 
     @staticmethod
     def convert_pcm_to_float(pcm_buffer: Union[bytes, bytearray]) -> np.ndarray:
-        return np.frombuffer(bytes(pcm_buffer), dtype=np.int16).astype(np.float32) / 32768.0
+        from .. import native
+
+        return native.s16le_to_f32(bytes(pcm_buffer))
 
     def _latest_committed_transcription_end(self) -> float:
         latest = self.state.end_transcription_committed
