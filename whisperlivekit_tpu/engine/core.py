@@ -162,7 +162,7 @@ class TranscriptionEngine:
         self.scheduler = None
         if config.transcription:
             params, dims, name = load_whisper_params(config)
-            if config.backend_policy == "localagreement":
+            if config.backend_policy in ("localagreement", "windowed"):
                 self.asr = LocalAgreementASR(config, params, dims, name)
             else:
                 self.asr = SimulStreamingASR(config, params, dims, name)
@@ -238,6 +238,7 @@ class TranscriptionEngine:
 def online_factory(config: WLKConfig, asr, language: Optional[str] = None, scheduler=None):
     if isinstance(asr, LocalAgreementASR):
         from ..streaming.local_agreement import OnlineASRProcessor
+        from ..streaming.windowed import WindowedStreamingProcessor
 
         backend = asr.asr
         if language and language != config.lan:
@@ -245,9 +246,9 @@ def online_factory(config: WLKConfig, asr, language: Optional[str] = None, sched
 
             backend = copy.copy(backend)
             backend.original_language = None if language == "auto" else language
-        proc = OnlineASRProcessor(backend)
-        proc.asr = backend
-        return proc
+        if config.backend_policy == "windowed":
+            return WindowedStreamingProcessor(backend)
+        return OnlineASRProcessor(backend)
 
     from ..streaming.simul_processor import SimulStreamingOnlineProcessor
 
