@@ -68,6 +68,8 @@ def build_tick(dims, params):
             jnp.int32(10**9),                    # rewind_threshold: never rewinds
             jnp.float32(2.0),                    # nonspeech_prob: never stops
             jnp.ones((B,), bool),
+            jnp.zeros((dims.n_audio_state,), jnp.float32),
+            jnp.float32(0.0),
             dims,
             PREFIX_BUCKET,
             DECODE_STEPS,

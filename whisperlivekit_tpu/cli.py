@@ -22,7 +22,7 @@ logger = logging.getLogger(__name__)
 
 SUBCOMMANDS = (
     "serve", "listen", "run", "transcribe", "bench", "models", "pull", "rm",
-    "check", "diagnose",
+    "check", "diagnose", "convert",
 )
 
 
@@ -262,6 +262,24 @@ def cmd_check(argv) -> int:
     np.asarray(x @ x)
     print("device matmul: ok")
     return 0 if ok else 1
+
+
+def cmd_convert(argv) -> int:
+    """Convert OpenAI/HF weights to the native orbax format (fast loads)."""
+    if len(argv) < 2:
+        print("usage: wlk convert SIZE_OR_PATH OUT_DIR [--dtype bfloat16]", file=sys.stderr)
+        return 2
+    src, out = argv[0], argv[1]
+    dtype_name = _pop_flag(argv, "--dtype", "bfloat16")
+    import jax.numpy as jnp
+
+    from .models.whisper.load import load_model, save_native
+
+    dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[dtype_name]
+    params, dims, name = load_model(src, dtype=dtype)
+    save_native(params, dims, out)
+    print(f"converted {name or src} -> {out} ({dtype_name})")
+    return 0
 
 
 # ---------------------------------------------------------------------------

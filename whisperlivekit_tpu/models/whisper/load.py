@@ -267,6 +267,38 @@ def _add_at_path(params, path, delta, dtype):
 
 
 # ---------------------------------------------------------------------------
+# Native checkpoint format (orbax) — fast load path after one-time conversion
+# ---------------------------------------------------------------------------
+
+
+def save_native(params: dict, dims: ModelDimensions, path: str | Path) -> None:
+    """Write the converted pytree + dims as an orbax checkpoint
+    (`wlk convert`); loading this skips torch/state-dict surgery entirely."""
+    import dataclasses
+
+    import orbax.checkpoint as ocp
+
+    path = Path(path).resolve()
+    ckptr = ocp.PyTreeCheckpointer()
+    ckptr.save(path / "params", params)
+    (path / "dims.json").write_text(json.dumps(dataclasses.asdict(dims)))
+
+
+def load_native(path: str | Path, dtype=None) -> Tuple[dict, ModelDimensions]:
+    import jax
+    import orbax.checkpoint as ocp
+
+    path = Path(path).resolve()
+    dims = ModelDimensions(**json.loads((path / "dims.json").read_text()))
+    ckptr = ocp.PyTreeCheckpointer()
+    params = ckptr.restore(path / "params")
+    params = jax.tree.map(jnp.asarray, params)
+    if dtype is not None:
+        params = jax.tree.map(lambda x: x.astype(dtype), params)
+    return params, dims
+
+
+# ---------------------------------------------------------------------------
 # Top-level loader
 # ---------------------------------------------------------------------------
 
@@ -279,6 +311,8 @@ def detect_format(path: Path) -> str:
     """
     if path.is_file() and path.suffix in (".pt", ".bin", ".pth"):
         return "openai"
+    if path.is_dir() and (path / "dims.json").exists():
+        return "native"
     if path.is_dir():
         if (path / "config.json").exists() and (
             list(path.glob("*.safetensors")) or (path / "model.safetensors.index.json").exists()
@@ -313,6 +347,11 @@ def load_model(
         path = resolved
 
     fmt = detect_format(path)
+    if fmt == "native":
+        params, dims = load_native(path, dtype=dtype)
+        if lora_path:
+            params = apply_lora(params, lora_path, dtype)
+        return params, dims, guess_size_name(dims)
     if fmt == "openai":
         f = path if path.is_file() else next(iter(path.glob("*.pt")))
         sd, dims_cfg = _read_torch_pt(f)

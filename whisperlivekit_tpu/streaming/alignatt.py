@@ -169,7 +169,10 @@ def dry_penalty(logits: jnp.ndarray, tokens: jnp.ndarray, cur_len: jnp.ndarray, 
 
 @partial(
     jax.jit,
-    static_argnames=("dims", "p_max", "max_steps", "eot", "ts_begin", "no_speech_tok", "space_tok"),
+    static_argnames=(
+        "dims", "p_max", "max_steps", "eot", "ts_begin", "no_speech_tok",
+        "space_tok", "use_cif",
+    ),
 )
 def alignatt_tick(
     params,
@@ -188,6 +191,8 @@ def alignatt_tick(
     rewind_threshold: jnp.ndarray, # scalar
     nonspeech_prob: jnp.ndarray,   # scalar
     active_in: jnp.ndarray,      # [B] bool — lanes with work this tick
+    cif_w: jnp.ndarray,          # [D] CIF linear weight (zeros when unused)
+    cif_b: jnp.ndarray,          # scalar CIF bias
     dims: ModelDimensions,
     p_max: int,
     max_steps: int,
@@ -195,6 +200,7 @@ def alignatt_tick(
     ts_begin: int,
     no_speech_tok: int,
     space_tok: int,
+    use_cif: bool = False,
 ):
     """One streaming tick for B lanes. Returns
     (new_tokens [B,max_steps], n_keep [B], frames [B,max_steps], reason [B],
@@ -208,6 +214,30 @@ def alignatt_tick(
     # per tick (the mel is never materialized on host).
     mel = pad_or_trim(log_mel_spectrogram(audio, n_mels=dims.n_mels), 2 * T)
     enc = wm.encode(params, mel, dims)
+
+    # CIF end-of-word fire detection (reference eow_detection.py:28-77):
+    # integrate sigmoid alphas over the content frames; fire when the first
+    # un-consumed boundary lies within 2 frames of the chunk end.
+    if use_cif:
+        frame_ids = jnp.arange(T, dtype=jnp.int32)[None, :]
+        content_mask = frame_ids < content_frames[:, None]
+        alphas = jax.nn.sigmoid(
+            jnp.einsum("btd,d->bt", enc.astype(jnp.float32), cif_w) + cif_b
+        )
+        # zero outside content and at the final content frame (end peak)
+        alphas = jnp.where(content_mask & (frame_ids < content_frames[:, None] - 1), alphas, 0.0)
+        total = alphas.sum(axis=-1)
+        target = jnp.round(total)
+        alphas = alphas * jnp.where(total > 0, target / jnp.maximum(total, 1e-6), 0.0)[:, None]
+        integrate = jnp.cumsum(alphas, axis=-1)
+        exceed = jnp.floor(integrate[:, -1:] / 0.999)
+        adjusted = integrate - exceed
+        valid = content_mask & (frame_ids < content_frames[:, None] - 1) & (adjusted >= 0)
+        first_pos = jnp.argmax(valid, axis=-1)
+        has_any = jnp.any(valid, axis=-1)
+        fire = has_any & (first_pos >= content_frames - 2)
+    else:
+        fire = jnp.ones((B,), bool)
     xkv = wm.cross_kv(params, enc, dims)
     cache = wm.init_cache(dims, B, dtype=params["decoder"]["tok_emb"].dtype)
 
@@ -380,6 +410,7 @@ def alignatt_tick(
         reason,
         no_speech_p,
         out["last_attend"],
+        fire,
     )
 
 
@@ -411,6 +442,7 @@ class TickOutputs:
     reason: int
     no_speech_p: float
     last_attend: int
+    fire: bool = True         # CIF end-of-word boundary at chunk end
 
 
 def run_tick_batch(engine: "AlignAttEngine", ticks: List[TickInputs], tokenizer) -> List[TickOutputs]:
@@ -446,7 +478,7 @@ def run_tick_batch(engine: "AlignAttEngine", ticks: List[TickInputs], tokenizer)
         max_new[i] = t.max_new
         active[i] = True
 
-    new_tokens, n_keep, frames, reason, no_speech_p, last_attend_out = alignatt_tick(
+    new_tokens, n_keep, frames, reason, no_speech_p, last_attend_out, fire = alignatt_tick(
         engine.params,
         jnp.asarray(audio),
         jnp.asarray(prefix),
@@ -463,6 +495,8 @@ def run_tick_batch(engine: "AlignAttEngine", ticks: List[TickInputs], tokenizer)
         jnp.int32(cfg.rewind_threshold),
         jnp.float32(cfg.nonspeech_prob),
         jnp.asarray(active),
+        engine.cif_w,
+        engine.cif_b,
         dims,
         p_max,
         cfg.max_steps,
@@ -470,6 +504,7 @@ def run_tick_batch(engine: "AlignAttEngine", ticks: List[TickInputs], tokenizer)
         tokenizer.timestamp_begin,
         tokenizer.no_speech,
         tokenizer.encode(" ")[0],
+        use_cif=engine.use_cif,
     )
     new_tokens = np.asarray(new_tokens)
     n_keep = np.asarray(n_keep)
@@ -477,6 +512,7 @@ def run_tick_batch(engine: "AlignAttEngine", ticks: List[TickInputs], tokenizer)
     reason = np.asarray(reason)
     no_speech_p = np.asarray(no_speech_p)
     last_attend_out = np.asarray(last_attend_out)
+    fire = np.asarray(fire)
 
     return [
         TickOutputs(
@@ -486,6 +522,7 @@ def run_tick_batch(engine: "AlignAttEngine", ticks: List[TickInputs], tokenizer)
             reason=int(reason[i]),
             no_speech_p=float(no_speech_p[i]),
             last_attend=int(last_attend_out[i]),
+            fire=bool(fire[i]),
         )
         for i in range(n)
     ]
@@ -519,9 +556,23 @@ class AlignAttEngine:
         self.align_layers = jnp.asarray(arr[:, 0])
         self.align_heads = jnp.asarray(arr[:, 1])
         self.suppress_mask = jnp.asarray(self._build_suppress_mask(tokenizer, dims))
+        self.use_cif, self.cif_w, self.cif_b = self._load_cif(cfg, dims)
         self.prefix_buckets = tuple(
             b for b in self.PREFIX_BUCKETS if b < dims.n_text_ctx
         ) or (dims.n_text_ctx // 2,)
+
+    @staticmethod
+    def _load_cif(cfg: AlignAttConfig, dims: ModelDimensions):
+        """CIF end-of-word linear head (reference eow_detection.py:10-34):
+        without a checkpoint, fall back to always-fire (or never-fire)."""
+        if not cfg.cif_ckpt_path:
+            return False, jnp.zeros((dims.n_audio_state,), jnp.float32), jnp.float32(0.0)
+        import torch
+
+        ckpt = torch.load(cfg.cif_ckpt_path, map_location="cpu")
+        w = np.asarray(ckpt["weight"].float().numpy()).reshape(-1)
+        b = float(np.asarray(ckpt["bias"].float().numpy()).reshape(())) if "bias" in ckpt else 0.0
+        return True, jnp.asarray(w, jnp.float32), jnp.float32(b)
 
     @staticmethod
     def _build_suppress_mask(tokenizer: Tokenizer, dims: ModelDimensions) -> np.ndarray:
@@ -718,7 +769,12 @@ class AlignAttSession:
                 self.pending_incomplete_token_timestamps + token_timestamps
             )
 
-        fire_detected = not cfg.never_fire  # CIF absent ⇒ always_fire
+        if cfg.never_fire:
+            fire_detected = False
+        elif self.engine.use_cif:
+            fire_detected = out.fire
+        else:
+            fire_detected = True  # CIF absent ⇒ always_fire
         new_hypothesis, split_words, split_tokens = self._split_tokens(
             tokens_to_split, fire_detected, ti.is_last
         )
