@@ -91,6 +91,13 @@ class SimulStreamingASR:
             never_fire=config.never_fire,
             cif_ckpt_path=config.cif_ckpt_path,
         )
+        if self.cfg.decoder_type == "beam" and self.cfg.beam_size > 1:
+            logger.warning(
+                "AlignAtt streaming beam search is not implemented yet; "
+                "falling back to greedy (offline transcribe/localagreement "
+                "support --beams)."
+            )
+            self.cfg.decoder_type = "greedy"
         self.engine = AlignAttEngine(
             params, dims, self.tokenizer, self.cfg, model_name=model_name,
             align_pairs=align_pairs,
@@ -170,7 +177,9 @@ class TranscriptionEngine:
                     from .scheduler import BatchScheduler
 
                     self.scheduler = BatchScheduler(
-                        self.asr.engine, max_lanes=config.max_batch_sessions
+                        self.asr.engine,
+                        max_lanes=config.max_batch_sessions,
+                        profile_dir=config.profile_dir,
                     )
             logger.info(
                 "Loaded whisper %s (%d-layer enc / %d-layer dec, %s) policy=%s",

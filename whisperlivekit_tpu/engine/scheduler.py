@@ -34,6 +34,8 @@ class BatchScheduler:
         max_lanes: int = 64,
         window_s: float = 0.02,
         inline: Optional[bool] = None,
+        profile_dir: Optional[str] = None,
+        profile_ticks: int = 5,
     ):
         self.engine = engine
         self.max_lanes = max_lanes
@@ -45,6 +47,11 @@ class BatchScheduler:
         self._task: Optional[asyncio.Task] = None
         self.n_ticks = 0
         self.n_lanes_served = 0
+        # jax profiler: trace the first N ticks into profile_dir (view with
+        # tensorboard / xprof) — the serving-path observability hook.
+        self._profile_dir = profile_dir
+        self._profile_ticks = profile_ticks
+        self._profiling = False
 
     # ---- public API ------------------------------------------------------------
 
@@ -65,6 +72,20 @@ class BatchScheduler:
         }
 
     # ---- internals ----------------------------------------------------------------
+
+    def _maybe_profile(self) -> None:
+        if self._profile_dir is None:
+            return
+        import jax
+
+        if not self._profiling and self.n_ticks == 0:
+            jax.profiler.start_trace(self._profile_dir)
+            self._profiling = True
+            logger.info("profiling first %d ticks -> %s", self._profile_ticks, self._profile_dir)
+        elif self._profiling and self.n_ticks >= self._profile_ticks:
+            jax.profiler.stop_trace()
+            self._profiling = False
+            logger.info("profile trace written to %s", self._profile_dir)
 
     def _ensure_running(self) -> None:
         loop = asyncio.get_running_loop()
@@ -88,6 +109,7 @@ class BatchScheduler:
             sessions = [b[0] for b in batch]
             tis = [b[1] for b in batch]
             futs = [b[2] for b in batch]
+            self._maybe_profile()
             try:
                 if self.inline:
                     outs = run_tick_batch(self.engine, tis, self.engine.tokenizer)
