@@ -98,12 +98,14 @@ def _dft_kernel() -> np.ndarray:
     return np.concatenate([cos_b, sin_b], axis=0)[:, None, :]  # [402, 1, 400]
 
 
-def stft_power(audio: jnp.ndarray) -> jnp.ndarray:
+def stft_power(audio: jnp.ndarray, precision=jax.lax.Precision.HIGHEST) -> jnp.ndarray:
     """Power spectrogram of 16 kHz float audio, shape [..., n_fft//2+1, n_frames].
 
     Center-padded (reflect) framing with hop 160, matching torch.stft
     semantics used by the reference; the trailing frame is dropped the same
-    way (reference whisper/audio.py:147).
+    way (reference whisper/audio.py:147). ``precision=DEFAULT`` trades exact
+    f32 MXU passes for ~6x fewer (streaming fast path; offline/parity keeps
+    HIGHEST).
     """
     squeeze = audio.ndim == 1
     if squeeze:
@@ -119,7 +121,7 @@ def stft_power(audio: jnp.ndarray) -> jnp.ndarray:
         padding="VALID",
         dimension_numbers=("NCH", "OIH", "NCH"),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=precision,
     )
     n_bins = N_FFT // 2 + 1
     real, imag = out[:, :n_bins], out[:, n_bins:]
@@ -131,6 +133,7 @@ def log_mel_spectrogram(
     audio: jnp.ndarray,
     n_mels: int = 80,
     padding: int = 0,
+    precision=jax.lax.Precision.HIGHEST,
 ) -> jnp.ndarray:
     """Whisper-scaled log-mel spectrogram, shape [..., n_mels, n_frames].
 
@@ -140,14 +143,14 @@ def log_mel_spectrogram(
     if padding > 0:
         widths = [(0, 0)] * (audio.ndim - 1) + [(0, padding)]
         audio = jnp.pad(audio, widths)
-    power = stft_power(audio)
+    power = stft_power(audio, precision=precision)
     filters = jnp.asarray(mel_filterbank(n_mels))
     mel = jnp.einsum(
         "mf,...ft->...mt",
         filters,
         power,
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=precision,
     )
     log_spec = jnp.log10(jnp.maximum(mel, 1e-10))
     # Dynamic floor: 8 dB below the global max of each item.

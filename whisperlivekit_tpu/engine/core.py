@@ -251,10 +251,9 @@ def online_factory(config: WLKConfig, asr, language: Optional[str] = None, sched
 
         backend = asr.asr
         if language and language != config.lan:
-            import copy
+            from ..streaming.session_proxy import SessionASRProxy
 
-            backend = copy.copy(backend)
-            backend.original_language = None if language == "auto" else language
+            backend = SessionASRProxy(backend, language)
         if config.backend_policy == "windowed":
             return WindowedStreamingProcessor(backend)
         return OnlineASRProcessor(backend)

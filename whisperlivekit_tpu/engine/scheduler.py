@@ -21,7 +21,13 @@ import logging
 import os
 from typing import List, Optional, Tuple
 
-from ..streaming.alignatt import AlignAttEngine, AlignAttSession, TickInputs, run_tick_batch
+from ..streaming.alignatt import (
+    AlignAttEngine,
+    AlignAttSession,
+    AudioPool,
+    TickInputs,
+    run_tick_batch,
+)
 from ..timed import ASRToken
 
 logger = logging.getLogger(__name__)
@@ -52,6 +58,8 @@ class BatchScheduler:
         self._profile_dir = profile_dir
         self._profile_ticks = profile_ticks
         self._profiling = False
+        # device-resident audio windows: sessions ship only new samples
+        self.pool = AudioPool(capacity=4 * max_lanes)
 
     # ---- public API ------------------------------------------------------------
 
@@ -112,10 +120,10 @@ class BatchScheduler:
             self._maybe_profile()
             try:
                 if self.inline:
-                    outs = run_tick_batch(self.engine, tis, self.engine.tokenizer)
+                    outs = run_tick_batch(self.engine, tis, self.engine.tokenizer, pool=self.pool)
                 else:
                     outs = await asyncio.to_thread(
-                        run_tick_batch, self.engine, tis, self.engine.tokenizer
+                        run_tick_batch, self.engine, tis, self.engine.tokenizer, self.pool
                     )
                 self.n_ticks += 1
                 self.n_lanes_served += len(batch)

@@ -820,6 +820,8 @@ class AudioProcessor:
                 logger.warning("Error stopping FFmpeg manager: %s", e)
         if self.diarization:
             self.diarization.close()
+        if self.transcription and hasattr(self.transcription, "close"):
+            self.transcription.close()
         self.metrics.total_audio_duration_s = self.total_pcm_samples / self.sample_rate
         self.metrics.log_summary()
         logger.info("AudioProcessor cleanup complete.")

@@ -134,21 +134,20 @@ def dry_penalty(logits: jnp.ndarray, tokens: jnp.ndarray, cur_len: jnp.ndarray, 
     next_tok = jnp.roll(tokens, -1, axis=1)
     cand = (tokens == last) & (idx < (cur_len - 1)[:, None]) & (next_tok < eot)
 
-    # match length: consecutive equality of suffixes ending at i vs cur_len-1
-    def match_step(l, carry):
-        length, alive = carry
-        j = idx - l                      # position behind candidate
-        k = (cur_len - 1)[:, None] - l   # position behind suffix end
-        ok = (j >= 0) & (k > idx)
-        tj = jnp.take_along_axis(tokens, jnp.maximum(j, 0), axis=1)
-        tk = jnp.take_along_axis(tokens, jnp.maximum(k, 0), axis=1)
-        step_ok = ok & (tj == tk) & (tj < eot)
-        alive = alive & step_ok
-        return length + alive.astype(jnp.int32), alive
-
-    length, _ = jax.lax.fori_loop(
-        1, 50, match_step, (jnp.ones((B, L), jnp.int32), cand)
+    # match length: consecutive equality of suffixes ending at i vs cur_len-1,
+    # fully vectorized over the 49 possible extension depths (one [B,49,L]
+    # tensor instead of a 49-iteration device loop per decode step).
+    ls = jnp.arange(1, 50, dtype=jnp.int32)[None, :, None]        # [1,49,1]
+    j = idx[:, None, :] - ls                                      # [B?,49,L]
+    k = (cur_len - 1)[:, None, None] - ls                         # [B,49,1]
+    ok = (j >= 0) & (k > idx[:, None, :])
+    tj = jnp.take_along_axis(
+        tokens[:, None, :].repeat(49, axis=1), jnp.maximum(jnp.broadcast_to(j, (B, 49, L)), 0), axis=2
     )
+    tk = jnp.take_along_axis(tokens, jnp.maximum(k[:, :, 0], 0), axis=1)[:, :, None]
+    step_ok = ok & (tj == tk) & (tj < eot)
+    alive_cum = jnp.cumprod(step_ok.astype(jnp.int32), axis=1)    # AND over depth
+    length = 1 + alive_cum.sum(axis=1)                            # [B,L]
 
     pen_len = jnp.where(cand, length, 0)
     # scatter-max per next-token id
@@ -176,7 +175,7 @@ def dry_penalty(logits: jnp.ndarray, tokens: jnp.ndarray, cur_len: jnp.ndarray, 
 )
 def alignatt_tick(
     params,
-    audio: jnp.ndarray,          # [B, N_SAMPLES] zero-padded 16 kHz float32
+    audio: jnp.ndarray,          # [B, N_SAMPLES] zero-padded 16 kHz, int16 or f32
     prefix: jnp.ndarray,         # [B, p_max] right-padded with eot
     prefix_len: jnp.ndarray,     # [B]
     sot_index: jnp.ndarray,      # [B]
@@ -211,8 +210,16 @@ def alignatt_tick(
     T = dims.n_audio_ctx
 
     # Front-end in-graph: one host->device transfer and zero extra dispatches
-    # per tick (the mel is never materialized on host).
-    mel = pad_or_trim(log_mel_spectrogram(audio, n_mels=dims.n_mels), 2 * T)
+    # per tick (the mel is never materialized on host). Audio ships as int16
+    # (PCM's native width) to halve the transfer; conversion is device-side.
+    if audio.dtype == jnp.int16:
+        audio = audio.astype(jnp.float32) / 32768.0
+    mel = pad_or_trim(
+        log_mel_spectrogram(
+            audio, n_mels=dims.n_mels, precision=jax.lax.Precision.DEFAULT
+        ),
+        2 * T,
+    )
     enc = wm.encode(params, mel, dims)
 
     # CIF end-of-word fire detection (reference eow_detection.py:28-77):
@@ -415,6 +422,90 @@ def alignatt_tick(
 
 
 # ---------------------------------------------------------------------------
+# Device-resident audio pool
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _pool_update(
+    pool: jnp.ndarray,    # [W, N] int16 (donated)
+    lanes: jnp.ndarray,   # [U] int32
+    shifts: jnp.ndarray,  # [U] int32 — samples evicted at window front
+    starts: jnp.ndarray,  # [U] int32 — write offset after the shift
+    lens: jnp.ndarray,    # [U] int32 — new samples
+    chunks: jnp.ndarray,  # [U, C] int16
+):
+    N = pool.shape[1]
+    C = chunks.shape[1]
+    rows = pool[lanes]
+    idx = jnp.arange(N, dtype=jnp.int32)[None, :] + shifts[:, None]
+    shifted = jnp.take_along_axis(rows, jnp.minimum(idx, N - 1), axis=1)
+    shifted = jnp.where(idx < N, shifted, 0)
+    pos = jnp.arange(N, dtype=jnp.int32)[None, :] - starts[:, None]
+    in_chunk = (pos >= 0) & (pos < lens[:, None])
+    vals = jnp.take_along_axis(chunks, jnp.clip(pos, 0, C - 1), axis=1)
+    new_rows = jnp.where(in_chunk, vals, shifted)
+    return pool.at[lanes].set(new_rows)
+
+
+@jax.jit
+def _pool_gather(pool: jnp.ndarray, lanes: jnp.ndarray) -> jnp.ndarray:
+    return pool[lanes]
+
+
+class AudioPool:
+    """Per-lane 30 s audio windows resident in device HBM.
+
+    Sessions ship only the samples appended since their last tick (~32 KB/s
+    int16) instead of re-uploading the whole window (~1 MB/tick); window
+    eviction becomes an on-device roll. Chunk width is bucketed so the set
+    of compiled update programs stays small.
+    """
+
+    CHUNK_BUCKETS = (32000, 160000, N_SAMPLES)  # 2 s / 10 s / full window
+
+    def __init__(self, capacity: int):
+        self.capacity = capacity
+        self.pool = jnp.zeros((capacity, N_SAMPLES), jnp.int16)
+        self._free = list(range(capacity))
+        self.n_updates = 0
+
+    def acquire(self) -> Optional[int]:
+        return self._free.pop() if self._free else None
+
+    def release(self, lane: int) -> None:
+        self._free.append(lane)
+
+    def update(self, updates: List[Tuple[int, int, int, np.ndarray]]) -> None:
+        """updates: (lane, shift, start, new_i16)."""
+        if not updates:
+            return
+        U = len(updates)
+        max_new = max(len(u[3]) for u in updates)
+        C = next(b for b in self.CHUNK_BUCKETS if b >= max_new)
+        lanes = np.zeros(U, np.int32)
+        shifts = np.zeros(U, np.int32)
+        starts = np.zeros(U, np.int32)
+        lens = np.zeros(U, np.int32)
+        chunks = np.zeros((U, C), np.int16)
+        for i, (lane, shift, start, new) in enumerate(updates):
+            lanes[i], shifts[i], starts[i], lens[i] = lane, shift, start, len(new)
+            chunks[i, : len(new)] = new
+        self.pool = _pool_update(
+            self.pool,
+            jnp.asarray(lanes),
+            jnp.asarray(shifts),
+            jnp.asarray(starts),
+            jnp.asarray(lens),
+            jnp.asarray(chunks),
+        )
+        self.n_updates += 1
+
+    def gather(self, lanes: List[int]) -> jnp.ndarray:
+        return _pool_gather(self.pool, jnp.asarray(np.asarray(lanes, np.int32)))
+
+
+# ---------------------------------------------------------------------------
 # Tick input/output records (host <-> device boundary)
 # ---------------------------------------------------------------------------
 
@@ -423,13 +514,15 @@ def alignatt_tick(
 class TickInputs:
     """Per-lane host-assembled inputs for one streaming tick."""
 
-    audio: np.ndarray         # [N_SAMPLES] zero-padded float32
+    audio: Optional[np.ndarray]  # [<=N_SAMPLES] float32; None in pool mode
     prefix_ids: List[int]
     sot_index: int
     content_frames: int
     last_attend: int
     is_last: bool
     max_new: int
+    pool_lane: Optional[int] = None
+    pool_update: Optional[Tuple[int, int, np.ndarray]] = None  # (shift, start, new_i16)
 
 
 @dataclass
@@ -445,11 +538,18 @@ class TickOutputs:
     fire: bool = True         # CIF end-of-word boundary at chunk end
 
 
-def run_tick_batch(engine: "AlignAttEngine", ticks: List[TickInputs], tokenizer) -> List[TickOutputs]:
+def run_tick_batch(
+    engine: "AlignAttEngine",
+    ticks: List[TickInputs],
+    tokenizer,
+    pool: Optional[AudioPool] = None,
+) -> List[TickOutputs]:
     """Pack N lanes into one device program and scatter the outputs.
 
     Lane count is padded to a power of two and the prefix width to the
     common bucket, so the set of compiled program shapes stays small.
+    With an AudioPool, audio stays in HBM: lanes are updated with only
+    their new samples, then gathered device-side.
     """
     n = len(ticks)
     B = 1 << (n - 1).bit_length()  # next power of two
@@ -457,7 +557,13 @@ def run_tick_batch(engine: "AlignAttEngine", ticks: List[TickInputs], tokenizer)
     dims = engine.dims
     p_max = max(engine.bucket_for(len(t.prefix_ids)) for t in ticks)
 
-    audio = np.zeros((B, N_SAMPLES), np.float32)
+    pool_mode = pool is not None and all(t.pool_lane is not None for t in ticks)
+    if pool_mode:
+        pool.update([(t.pool_lane, *t.pool_update) for t in ticks if t.pool_update])
+        lanes = [t.pool_lane for t in ticks] + [0] * (B - n)
+        audio_dev = pool.gather(lanes)
+    else:
+        audio = np.zeros((B, N_SAMPLES), np.int16)
     prefix = np.full((B, p_max), tokenizer.eot, np.int32)
     prefix_len = np.ones(B, np.int32)
     sot_index = np.zeros(B, np.int32)
@@ -468,7 +574,11 @@ def run_tick_batch(engine: "AlignAttEngine", ticks: List[TickInputs], tokenizer)
     active = np.zeros(B, bool)
 
     for i, t in enumerate(ticks):
-        audio[i, : len(t.audio)] = t.audio
+        if not pool_mode:
+            a = t.audio
+            if a.dtype != np.int16:
+                a = (np.clip(a, -1.0, 1.0 - 1 / 32768) * 32768.0).astype(np.int16)
+            audio[i, : len(a)] = a
         prefix[i, : len(t.prefix_ids)] = t.prefix_ids
         prefix_len[i] = len(t.prefix_ids)
         sot_index[i] = t.sot_index
@@ -480,7 +590,7 @@ def run_tick_batch(engine: "AlignAttEngine", ticks: List[TickInputs], tokenizer)
 
     new_tokens, n_keep, frames, reason, no_speech_p, last_attend_out, fire = alignatt_tick(
         engine.params,
-        jnp.asarray(audio),
+        audio_dev if pool_mode else jnp.asarray(audio),
         jnp.asarray(prefix),
         jnp.asarray(prefix_len),
         jnp.asarray(sot_index),
@@ -617,6 +727,9 @@ class AlignAttSession:
         self.global_time_offset = 0.0
         self.detected_language: Optional[str] = None
         self.first_timestamp: Optional[float] = None
+        self.pool: Optional[AudioPool] = None  # set by the scheduler
+        self.pool_lane: Optional[int] = None
+        self._pool_synced: Optional[Tuple[int, int, int]] = None  # (gen, start, len)
         self._reset_segment_state()
         max_ctx = self.cfg.max_context_tokens
         self.max_context_tokens = (
@@ -641,6 +754,9 @@ class AlignAttSession:
         self.pending_incomplete_tokens: List[int] = []
         self.pending_incomplete_token_timestamps: List[float] = []
         self.pending_retries = 0
+        # audio-pool sync bookkeeping
+        self.evicted_samples = 0
+        self._audio_gen = getattr(self, "_audio_gen", 0) + 1
 
     def refresh_segment(self, complete: bool = False) -> None:
         keep = [] if (complete or len(self.segments) <= 2) else self.segments[-2:]
@@ -666,6 +782,7 @@ class AlignAttSession:
             total -= removed
             self.last_attend_frame -= int(TOKENS_PER_SECOND * removed)
             self.cumulative_time_offset += removed
+            self.evicted_samples += self.segments[0].shape[0]
             self.segments = self.segments[1:]
             if self.committed_tokens:
                 self.context.append_token_ids(self.committed_tokens[0])
@@ -723,7 +840,7 @@ class AlignAttSession:
             prefix_ids = prefix_ids[-p_need:]
             sot_index = min(sot_index, p_need - 1)
 
-        return TickInputs(
+        ti = TickInputs(
             audio=audio,
             prefix_ids=prefix_ids,
             sot_index=sot_index,
@@ -732,12 +849,53 @@ class AlignAttSession:
             is_last=is_last,
             max_new=max(50, int(audio_s * 15 * 1.5)),
         )
+        self._attach_pool_update(ti, audio)
+        return ti
+
+    def _attach_pool_update(self, ti: TickInputs, audio: np.ndarray) -> None:
+        """Compute the incremental device-window update for pool mode."""
+        if self.pool is None:
+            return
+        if self.pool_lane is None:
+            self.pool_lane = self.pool.acquire()
+            if self.pool_lane is None:  # pool exhausted: plain transfer path
+                return
+        gen, cur_start, cur_len = self._audio_gen, self.evicted_samples, len(audio)
+
+        def to_i16(a):
+            return (np.clip(a, -1.0, 1.0 - 1 / 32768) * 32768.0).astype(np.int16)
+
+        synced = self._pool_synced
+        incremental = (
+            synced is not None
+            and synced[0] == gen
+            and synced[1] <= cur_start
+            and cur_start - synced[1] <= synced[2]
+            and synced[1] + synced[2] <= cur_start + cur_len
+            and cur_len <= N_SAMPLES
+        )
+        if incremental:
+            shift = cur_start - synced[1]
+            kept = synced[2] - shift
+            ti.pool_update = (shift, kept, to_i16(audio[kept:]))
+        else:
+            ti.pool_update = (N_SAMPLES, 0, to_i16(audio))
+        ti.pool_lane = self.pool_lane
+        self._pool_synced = (gen, cur_start, cur_len)
+        # ti.audio is kept as the fallback for mixed batches (pool exhausted
+        # on some lanes); pool-mode batches never transfer it.
+
+    def release_pool_lane(self) -> None:
+        if self.pool is not None and self.pool_lane is not None:
+            self.pool.release(self.pool_lane)
+            self.pool_lane = None
+            self._pool_synced = None
 
     def infer(self, is_last: bool = False) -> List[ASRToken]:
         ti = self.prepare_tick(is_last)
         if ti is None:
             return []
-        outs = run_tick_batch(self.engine, [ti], self.tokenizer)
+        outs = run_tick_batch(self.engine, [ti], self.tokenizer, pool=self.pool)
         return self.finish_tick(ti, outs[0])
 
     def finish_tick(self, ti: "TickInputs", out: "TickOutputs") -> List[ASRToken]:

@@ -39,6 +39,8 @@ class SimulStreamingOnlineProcessor:
         self.engine = engine
         self.model = AlignAttSession(engine, tokenizer=tokenizer)
         self.scheduler = scheduler  # BatchScheduler | None: batched device ticks
+        if scheduler is not None and getattr(scheduler, "pool", None) is not None:
+            self.model.pool = scheduler.pool
         if scheduler is not None:
             # async variants are discovered by AudioProcessor._infer via the
             # "<name>_async" convention; only exposed when batching is on.
@@ -230,6 +232,10 @@ class SimulStreamingOnlineProcessor:
 
     def finish(self) -> Tuple[List[ASRToken], float]:
         return self.process_iter(is_last=True)
+
+    def close(self) -> None:
+        """Release shared resources (audio-pool lane)."""
+        self.model.release_pool_lane()
 
     def warmup(self, audio: np.ndarray, init_prompt: str = "") -> None:
         self.model.insert_audio(np.asarray(audio, np.float32))
