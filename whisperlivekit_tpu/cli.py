@@ -13,7 +13,6 @@ import json
 import logging
 import sys
 import time
-from pathlib import Path
 
 from .cli_args import build_parser, parse_args
 from .models.whisper.dims import HF_REPOS, MODEL_DIMS

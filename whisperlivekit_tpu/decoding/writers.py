@@ -3,7 +3,7 @@
 from __future__ import annotations
 
 import json
-from typing import IO, Callable, List
+from typing import IO, Callable
 
 
 def format_timestamp(seconds: float, always_include_hours: bool = False, decimal_marker: str = ".") -> str:

@@ -10,7 +10,6 @@ fits TP x DP at every released size (SURVEY.md §2.10); SP is unnecessary at
 
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple
 
 import jax

@@ -28,7 +28,7 @@ Reference inversions for TPU:
 from __future__ import annotations
 
 import logging
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from functools import partial
 from typing import List, Optional, Tuple
 

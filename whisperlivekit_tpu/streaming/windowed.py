@@ -17,8 +17,6 @@ from __future__ import annotations
 import logging
 from typing import List, Tuple
 
-import numpy as np
-
 from ..timed import ASRToken
 from .local_agreement import OnlineASRProcessor
 
