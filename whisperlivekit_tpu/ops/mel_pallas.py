@@ -39,13 +39,19 @@ MELS_PAD = 128
 
 @functools.lru_cache(maxsize=None)
 def _padded_bases(n_mels: int):
-    """(dft [512, 512], mel [256, 128]) zero-padded bases; dft columns
-    0..255 = cos bins, 256..511 = sin bins."""
+    """(dft [3, 160, 512], mel [256, 128]) zero-padded bases.
+
+    The 400-tap window splits into three 160-tap groups (q = j // 160); the
+    kernel sums three [256,160]x[160,512] matmuls — Mosaic rejects lane-dim
+    concatenation at non-128 offsets, so no frame concat is ever built.
+    dft columns 0..255 = cos bins, 256..511 = sin bins.
+    """
     kern = _dft_kernel()[:, 0, :]  # [402, 400]
     cos_b, sin_b = kern[:BINS].T, kern[BINS:].T  # [400, 201]
-    dft = np.zeros((TAPS_PAD, 2 * BINS_PAD), np.float32)
-    dft[:N_FFT, :BINS] = cos_b
-    dft[:N_FFT, BINS_PAD : BINS_PAD + BINS] = sin_b
+    full = np.zeros((3 * HOP_LENGTH, 2 * BINS_PAD), np.float32)
+    full[:N_FFT, :BINS] = cos_b
+    full[:N_FFT, BINS_PAD : BINS_PAD + BINS] = sin_b
+    dft = full.reshape(3, HOP_LENGTH, 2 * BINS_PAD)
     mel = np.zeros((BINS_PAD, MELS_PAD), np.float32)
     mel[:BINS, :n_mels] = mel_filterbank(n_mels).T
     return dft, mel
@@ -53,13 +59,10 @@ def _padded_bases(n_mels: int):
 
 def _kernel(audio_ref, dft_ref, mel_ref, out_ref):
     a2 = audio_ref[0, 0]  # [ROWS_PER_BLOCK, 160]
-    f0 = a2[0:FRAMES_PER_BLOCK, :]
-    f1 = a2[1 : FRAMES_PER_BLOCK + 1, :]
-    f2 = a2[2 : FRAMES_PER_BLOCK + 2, :]
-    zeros = jnp.zeros((FRAMES_PER_BLOCK, TAPS_PAD - 3 * HOP_LENGTH), jnp.float32)
-    frames = jnp.concatenate([f0, f1, f2, zeros], axis=1)  # [256, 512]
-
-    spect = jnp.dot(frames, dft_ref[:], preferred_element_type=jnp.float32)  # [256, 512]
+    spect = jnp.zeros((FRAMES_PER_BLOCK, 2 * BINS_PAD), jnp.float32)
+    for q in range(3):
+        f_q = a2[q : q + FRAMES_PER_BLOCK, :]          # [256, 160]
+        spect += jnp.dot(f_q, dft_ref[q], preferred_element_type=jnp.float32)
     real = spect[:, :BINS_PAD]
     imag = spect[:, BINS_PAD:]
     power = real * real + imag * imag  # [256, 256]
@@ -103,7 +106,7 @@ def log_mel_pallas(audio: jnp.ndarray, n_mels: int = 80, interpret: bool = False
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (TAPS_PAD, 2 * BINS_PAD), lambda b, i: (0, 0), memory_space=pltpu.VMEM
+                (3, HOP_LENGTH, 2 * BINS_PAD), lambda b, i: (0, 0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec((BINS_PAD, MELS_PAD), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
         ],

@@ -134,20 +134,24 @@ def dry_penalty(logits: jnp.ndarray, tokens: jnp.ndarray, cur_len: jnp.ndarray, 
     next_tok = jnp.roll(tokens, -1, axis=1)
     cand = (tokens == last) & (idx < (cur_len - 1)[:, None]) & (next_tok < eot)
 
-    # match length: consecutive equality of suffixes ending at i vs cur_len-1,
-    # fully vectorized over the 49 possible extension depths (one [B,49,L]
-    # tensor instead of a 49-iteration device loop per decode step).
-    ls = jnp.arange(1, 50, dtype=jnp.int32)[None, :, None]        # [1,49,1]
-    j = idx[:, None, :] - ls                                      # [B?,49,L]
-    k = (cur_len - 1)[:, None, None] - ls                         # [B,49,1]
-    ok = (j >= 0) & (k > idx[:, None, :])
-    tj = jnp.take_along_axis(
-        tokens[:, None, :].repeat(49, axis=1), jnp.maximum(jnp.broadcast_to(j, (B, 49, L)), 0), axis=2
+    # match length: consecutive equality of suffixes ending at i vs cur_len-1.
+    # A fully-vectorized [B,49,L] formulation was measured SLOWER inside the
+    # decode while_loop on v5e (larger per-step working set); the 49-step
+    # fori over [B,L] vectors wins.
+    def match_step(l, carry):
+        length, alive = carry
+        j = idx - l                      # position behind candidate
+        k = (cur_len - 1)[:, None] - l   # position behind suffix end
+        ok = (j >= 0) & (k > idx)
+        tj = jnp.take_along_axis(tokens, jnp.maximum(j, 0), axis=1)
+        tk = jnp.take_along_axis(tokens, jnp.maximum(k, 0), axis=1)
+        step_ok = ok & (tj == tk) & (tj < eot)
+        alive = alive & step_ok
+        return length + alive.astype(jnp.int32), alive
+
+    length, _ = jax.lax.fori_loop(
+        1, 50, match_step, (jnp.ones((B, L), jnp.int32), cand)
     )
-    tk = jnp.take_along_axis(tokens, jnp.maximum(k[:, :, 0], 0), axis=1)[:, :, None]
-    step_ok = ok & (tj == tk) & (tj < eot)
-    alive_cum = jnp.cumprod(step_ok.astype(jnp.int32), axis=1)    # AND over depth
-    length = 1 + alive_cum.sum(axis=1)                            # [B,L]
 
     pen_len = jnp.where(cand, length, 0)
     # scatter-max per next-token id
