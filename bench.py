@@ -122,10 +122,12 @@ def main() -> None:
     tick = build_tick(dims, params)
     rng = np.random.default_rng(0)
 
+    # Sustainable streams = max over B of B / tick_time: each session needs
+    # one tick per TICK_SECONDS of audio and the scheduler rotates lane
+    # groups, so throughput (not single-batch latency) bounds capacity.
     best_streams = 0.0
     best_B = 0
-    results = {}
-    for B in (1, 4, 8, 16, 32, 64, 96, 128):
+    for B in (1, 4, 8, 16, 32, 64, 96, 128, 192, 256):
         try:
             inputs = make_inputs(dims, B, rng)
             dt = time_tick(tick, inputs)
@@ -133,15 +135,14 @@ def main() -> None:
             print(f"B={B}: failed ({type(e).__name__})", file=sys.stderr)
             break
         streams = B * TICK_SECONDS / dt if dt > 0 else 0.0
-        sustainable = B if dt <= TICK_SECONDS else B * TICK_SECONDS / dt
-        results[B] = dt
         print(f"B={B}: tick={dt*1e3:.1f} ms  throughput={streams:.1f} streams", file=sys.stderr)
-        if sustainable > best_streams:
-            best_streams, best_B = sustainable, B
-        if dt > TICK_SECONDS:
-            break
+        if streams > best_streams:
+            best_streams, best_B = streams, B
+        if dt > 2 * TICK_SECONDS or (B >= 64 and streams < 0.8 * best_streams):
+            break  # past the throughput peak
 
     baseline_streams = 1.0 / 0.097  # reference H100 single-session RTF, base
+    print(f"peak at B={best_B} (per-tick latency = word-emission latency bound)", file=sys.stderr)
     print(
         json.dumps(
             {
