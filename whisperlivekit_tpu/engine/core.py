@@ -187,10 +187,22 @@ class TranscriptionEngine:
                 config.backend_policy,
             )
 
+        self.vad_scheduler = None
         if config.vac:
-            from ..audio.vad import load_vad_model
+            if config.vad_backend == "jax-batched":
+                try:
+                    from ..audio.vad_batched import BatchedVADScheduler
 
-            self.vac_model = load_vad_model()
+                    self.vad_scheduler = BatchedVADScheduler(
+                        max_lanes=4 * config.max_batch_sessions
+                    )
+                    logger.info("batched JAX VAD scheduler enabled")
+                except Exception as e:
+                    logger.warning("jax-batched VAD unavailable (%s); host VAD", e)
+            if self.vad_scheduler is None:
+                from ..audio.vad import load_vad_model
+
+                self.vac_model = load_vad_model()
 
         if config.diarization:
             from ..diarization import load_diarization_model

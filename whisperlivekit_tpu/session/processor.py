@@ -119,10 +119,17 @@ class AudioProcessor:
             ),
         )
 
-        self.vac: Optional[FixedVADIterator] = None
-        if self.args.vac and engine.vac_model is not None:
-            # per-session VAD state; the frame model clones its own state
-            self.vac = FixedVADIterator(engine.vac_model.new_session())
+        self.vac = None
+        self._vac_async = False
+        if self.args.vac:
+            if getattr(engine, "vad_scheduler", None) is not None:
+                from ..audio.vad_batched import AsyncFixedVADIterator
+
+                self.vac = AsyncFixedVADIterator(engine.vad_scheduler)
+                self._vac_async = True
+            elif engine.vac_model is not None:
+                # per-session VAD state; the frame model clones its own state
+                self.vac = FixedVADIterator(engine.vac_model.new_session())
 
         self.ffmpeg_manager: Optional[FFmpegManager] = None
         self.ffmpeg_reader_task: Optional[asyncio.Task] = None
@@ -822,6 +829,8 @@ class AudioProcessor:
             self.diarization.close()
         if self.transcription and hasattr(self.transcription, "close"):
             self.transcription.close()
+        if self.vac is not None and hasattr(self.vac, "close"):
+            self.vac.close()
         self.metrics.total_audio_duration_s = self.total_pcm_samples / self.sample_rate
         self.metrics.log_summary()
         logger.info("AudioProcessor cleanup complete.")
@@ -901,7 +910,12 @@ class AudioProcessor:
         chunk_sample_start = self.total_pcm_samples
         chunk_sample_end = chunk_sample_start + num_samples
 
-        vad_events = self.vac(pcm_array) or [] if (self.args.vac and self.vac) else []
+        vad_events = []
+        if self.args.vac and self.vac:
+            if self._vac_async:
+                vad_events = await self.vac(pcm_array) or []
+            else:
+                vad_events = self.vac(pcm_array) or []
 
         # Segment the chunk around VAD boundaries (sample-precise; clamped to
         # the chunk so active+silence durations sum exactly to stream time).
