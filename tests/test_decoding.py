@@ -160,3 +160,47 @@ def test_writers():
     assert writers.get_writer("json")
     with pytest.raises(ValueError):
         writers.get_writer("nope")
+
+
+@needs_vocab
+def test_transcribe_clip_timestamps(tiny):
+    from whisperlivekit_tpu.decoding.transcribe import transcribe
+
+    rng = np.random.default_rng(5)
+    audio = (0.1 * rng.standard_normal(16000 * 6)).astype(np.float32)
+    out = transcribe(
+        tiny, audio,
+        temperature=0.0,
+        compression_ratio_threshold=None,
+        logprob_threshold=None,
+        no_speech_threshold=None,
+        language="en",
+        sample_len=6,
+        clip_timestamps="1,3",  # only transcribe 1s..3s
+    )
+    # decode windows start inside the clip; predicted (random-weight)
+    # timestamp tokens can still claim times past the clip end, as in the
+    # reference, so only the window placement is asserted.
+    for seg in out["segments"]:
+        assert seg["start"] >= 1.0 - 0.01
+        assert seg["seek"] >= 100 and seg["seek"] < 300
+
+
+@needs_vocab
+def test_transcribe_hallucination_threshold_runs(tiny):
+    from whisperlivekit_tpu.decoding.transcribe import transcribe
+
+    rng = np.random.default_rng(6)
+    audio = (0.1 * rng.standard_normal(16000 * 4)).astype(np.float32)
+    out = transcribe(
+        tiny, audio,
+        temperature=0.0,
+        compression_ratio_threshold=None,
+        logprob_threshold=None,
+        no_speech_threshold=None,
+        language="en",
+        sample_len=6,
+        word_timestamps=True,
+        hallucination_silence_threshold=2.0,
+    )
+    assert isinstance(out["segments"], list)

@@ -2,11 +2,9 @@
 
 The 30 s seek loop, temperature fallback ladder, quality gating
 (compression ratio / avg logprob / no-speech), timestamp-pair segmentation,
-prompt conditioning, and optional DTW word timestamps — driving the jitted
-encode/decode of models/whisper via the WhisperDecoder task.
-
-Omitted vs reference (tracked for a later round): clip_timestamps,
-hallucination_silence_threshold.
+prompt conditioning, clip windows, hallucination-silence skipping, and
+optional DTW word timestamps — driving the jitted encode/decode of
+models/whisper via the WhisperDecoder task.
 """
 
 from __future__ import annotations
@@ -49,6 +47,8 @@ def transcribe(
     word_timestamps: bool = False,
     prepend_punctuations: str = "\"'“¿([{-",
     append_punctuations: str = "\"'.。,，!！?？:：”)]}、",
+    clip_timestamps: Union[str, Sequence[float]] = "0",
+    hallucination_silence_threshold: Optional[float] = None,
     model_name: Optional[str] = None,
     **decode_options,
 ) -> dict:
@@ -122,9 +122,23 @@ def transcribe(
                 break
         return result
 
-    seek = 0
+    # clip windows (reference transcribe.py:151-157,255-266)
+    if isinstance(clip_timestamps, str):
+        clip_list = [float(ts) for ts in (clip_timestamps.split(",") if clip_timestamps else [])]
+    else:
+        clip_list = list(clip_timestamps)
+    seek_points = [round(ts * FRAMES_PER_SECOND) for ts in clip_list]
+    if len(seek_points) == 0:
+        seek_points.append(0)
+    if len(seek_points) % 2 == 1:
+        seek_points.append(content_frames)
+    seek_clips = list(zip(seek_points[::2], seek_points[1::2]))
+    clip_idx = 0
+
+    seek = seek_clips[0][0]
     input_stride = 2  # mel frames per encoder output frame
     time_precision = input_stride * HOP_LENGTH / SAMPLE_RATE  # 0.02 s
+    punctuation_chars = prepend_punctuations + append_punctuations
 
     all_tokens: List[int] = []
     all_segments: List[dict] = []
@@ -152,11 +166,51 @@ def transcribe(
             "no_speech_prob": result.no_speech_prob,
         }
 
+    # hallucination heuristics (reference transcribe.py:299-321)
+    def word_anomaly_score(word: dict) -> float:
+        probability = word.get("probability") or 0.0
+        duration = word["end"] - word["start"]
+        score = 0.0
+        if probability < 0.15:
+            score += 1.0
+        if duration < 0.133:
+            score += (0.133 - duration) * 15
+        if duration > 2.0:
+            score += duration - 2.0
+        return score
+
+    def is_segment_anomaly(segment: Optional[dict]) -> bool:
+        if segment is None or not segment.get("words"):
+            return False
+        words = [w for w in segment["words"] if w["word"] not in punctuation_chars][:8]
+        if not words:
+            return False
+        score = sum(word_anomaly_score(w) for w in words)
+        return score >= 3 or score + 0.01 >= len(words)
+
+    def next_words_segment(segments: List[dict]) -> Optional[dict]:
+        return next((s for s in segments if s.get("words")), None)
+
+    def get_end(segments: List[dict]) -> Optional[float]:
+        return next(
+            (w["end"] for s in reversed(segments) for w in reversed(s.get("words", []))),
+            None,
+        )
+
     last_speech_timestamp = 0.0
-    while seek < content_frames:
+    while clip_idx < len(seek_clips):
+        seek_clip_start, seek_clip_end = seek_clips[clip_idx]
+        if seek < seek_clip_start:
+            seek = seek_clip_start
+        if seek >= min(seek_clip_end, content_frames):
+            clip_idx += 1
+            if clip_idx < len(seek_clips):
+                seek = seek_clips[clip_idx][0]
+            continue
         time_offset = float(seek * HOP_LENGTH / SAMPLE_RATE)
-        mel_segment = mel_full[..., seek : seek + N_FRAMES]
-        segment_size = min(N_FRAMES, content_frames - seek)
+        window_end_time = float((seek + N_FRAMES) * HOP_LENGTH / SAMPLE_RATE)
+        segment_size = min(N_FRAMES, content_frames - seek, seek_clip_end - seek)
+        mel_segment = mel_full[..., seek : seek + segment_size]
         segment_duration = segment_size * HOP_LENGTH / SAMPLE_RATE
         mel_segment = np.asarray(pad_or_trim(jnp.asarray(mel_segment), N_FRAMES))
 
@@ -243,13 +297,63 @@ def transcribe(
                 last_speech_timestamp=last_speech_timestamp,
             )
             if not single_timestamp_ending:
-                words = [w for s in current_segments for w in s.get("words", [])]
-                if words:
-                    seek_shift = round(
-                        (words[-1]["end"] - time_offset) * FRAMES_PER_SECOND
-                    )
-                    if seek_shift > 0:
-                        seek = previous_seek + seek_shift
+                last_word_end = get_end(current_segments)
+                if last_word_end is not None and last_word_end > time_offset:
+                    seek = round(last_word_end * FRAMES_PER_SECOND)
+
+            # skip silence before possible hallucinations
+            # (reference transcribe.py:401-456)
+            if hallucination_silence_threshold is not None:
+                threshold = hallucination_silence_threshold
+                if not single_timestamp_ending:
+                    last_word_end = get_end(current_segments)
+                    if last_word_end is not None and last_word_end > time_offset:
+                        remaining_duration = window_end_time - last_word_end
+                        if remaining_duration > threshold:
+                            seek = round(last_word_end * FRAMES_PER_SECOND)
+                        else:
+                            seek = previous_seek + segment_size
+
+                first_segment = next_words_segment(current_segments)
+                if first_segment is not None and is_segment_anomaly(first_segment):
+                    gap = first_segment["start"] - time_offset
+                    if gap > threshold:
+                        seek = previous_seek + round(gap * FRAMES_PER_SECOND)
+                        continue
+
+                hal_last_end = last_speech_timestamp
+                for si, segment in enumerate(current_segments):
+                    if not segment.get("words"):
+                        continue
+                    if is_segment_anomaly(segment):
+                        next_segment = next_words_segment(current_segments[si + 1 :])
+                        if next_segment is not None:
+                            hal_next_start = next_segment["words"][0]["start"]
+                        else:
+                            hal_next_start = time_offset + segment_duration
+                        silence_before = (
+                            segment["start"] - hal_last_end > threshold
+                            or segment["start"] < threshold
+                            or segment["start"] - time_offset < 2.0
+                        )
+                        silence_after = (
+                            hal_next_start - segment["end"] > threshold
+                            or is_segment_anomaly(next_segment)
+                            or window_end_time - segment["end"] < 2.0
+                        )
+                        if silence_before and silence_after:
+                            seek = round(
+                                max(time_offset + 1, segment["start"]) * FRAMES_PER_SECOND
+                            )
+                            if content_duration - segment["end"] < threshold:
+                                seek = content_frames
+                            current_segments[si:] = []
+                            break
+                    hal_last_end = segment["end"]
+
+            last_word_end = get_end(current_segments)
+            if last_word_end is not None:
+                last_speech_timestamp = last_word_end
 
         for segment in current_segments:
             if verbose:
