@@ -202,7 +202,12 @@ def cmd_pull(argv) -> int:
         print("usage: wlk pull SIZE", file=sys.stderr)
         return 2
     size = argv[0]
-    repo = HF_REPOS.get(size)
+    extra = {
+        "voxtral": "mistralai/Voxtral-Mini-3B-2507",
+        "nllb": "facebook/nllb-200-distilled-600M",
+        "nllb-1.3B": "facebook/nllb-200-distilled-1.3B",
+    }
+    repo = HF_REPOS.get(size) or extra.get(size)
     if repo is None:
         print(f"unknown model size {size!r}; see `wlk models`", file=sys.stderr)
         return 2

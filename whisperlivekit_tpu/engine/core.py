@@ -127,6 +127,15 @@ class LocalAgreementASR:
         )
 
 
+class VoxtralHolder:
+    """Backend holder for the Voxtral audio-LLM (windowed streaming)."""
+
+    sep = ""
+
+    def __init__(self, asr):
+        self.asr = asr
+
+
 class TranscriptionEngine:
     """Thread-safe singleton (reference core.py:37-79)."""
 
@@ -167,7 +176,19 @@ class TranscriptionEngine:
         self.translation_model = None
 
         self.scheduler = None
-        if config.transcription:
+        if config.transcription and (config.backend or "").startswith("voxtral"):
+            from ..models.voxtral_backend import VoxtralASR, load_voxtral
+
+            params, vdims, tok = load_voxtral(config.model_path)
+            self.asr = VoxtralHolder(
+                VoxtralASR(
+                    params, vdims, tok,
+                    buffer_trimming=config.buffer_trimming,
+                    buffer_trimming_sec=config.buffer_trimming_sec,
+                )
+            )
+            logger.info("Loaded Voxtral backend (windowed streaming policy)")
+        elif config.transcription:
             params, dims, name = load_whisper_params(config)
             if config.backend_policy in ("localagreement", "windowed"):
                 self.asr = LocalAgreementASR(config, params, dims, name)
@@ -257,6 +278,10 @@ class TranscriptionEngine:
 
 
 def online_factory(config: WLKConfig, asr, language: Optional[str] = None, scheduler=None):
+    if isinstance(asr, VoxtralHolder):
+        from ..streaming.windowed import WindowedStreamingProcessor
+
+        return WindowedStreamingProcessor(asr.asr)
     if isinstance(asr, LocalAgreementASR):
         from ..streaming.local_agreement import OnlineASRProcessor
         from ..streaming.windowed import WindowedStreamingProcessor
