@@ -91,13 +91,6 @@ class SimulStreamingASR:
             never_fire=config.never_fire,
             cif_ckpt_path=config.cif_ckpt_path,
         )
-        if self.cfg.decoder_type == "beam" and self.cfg.beam_size > 1:
-            logger.warning(
-                "AlignAtt streaming beam search is not implemented yet; "
-                "falling back to greedy (offline transcribe/localagreement "
-                "support --beams)."
-            )
-            self.cfg.decoder_type = "greedy"
         self.engine = AlignAttEngine(
             params, dims, self.tokenizer, self.cfg, model_name=model_name,
             align_pairs=align_pairs,

@@ -899,7 +899,12 @@ class AlignAttSession:
         ti = self.prepare_tick(is_last)
         if ti is None:
             return []
-        outs = run_tick_batch(self.engine, [ti], self.tokenizer, pool=self.pool)
+        if self.cfg.decoder_type == "beam" and self.cfg.beam_size > 1:
+            from .alignatt_beam import run_tick_batch_beam
+
+            outs = run_tick_batch_beam(self.engine, [ti], self.tokenizer, self.cfg.beam_size)
+        else:
+            outs = run_tick_batch(self.engine, [ti], self.tokenizer, pool=self.pool)
         return self.finish_tick(ti, outs[0])
 
     def finish_tick(self, ti: "TickInputs", out: "TickOutputs") -> List[ASRToken]:

@@ -41,9 +41,11 @@ class SimulStreamingOnlineProcessor:
         self.scheduler = scheduler  # BatchScheduler | None: batched device ticks
         if scheduler is not None and getattr(scheduler, "pool", None) is not None:
             self.model.pool = scheduler.pool
-        if scheduler is not None:
+        beam_mode = engine.cfg.decoder_type == "beam" and engine.cfg.beam_size > 1
+        if scheduler is not None and not beam_mode:
             # async variants are discovered by AudioProcessor._infer via the
-            # "<name>_async" convention; only exposed when batching is on.
+            # "<name>_async" convention; only exposed when batching is on
+            # (the packed tick is greedy; beam sessions run solo ticks).
             self.process_iter_async = self._process_iter_async
             self.start_silence_async = self._start_silence_async
             self.finish_async = self._start_silence_async
