@@ -29,6 +29,7 @@ class LlamaDims:
     rms_eps: float = 1e-5
     max_positions: int = 8192
     tie_embeddings: bool = False
+    qk_norm: bool = False  # Qwen3: per-head-dim RMSNorm on q/k before RoPE
 
 
 def _lin(key, i, o, dtype):
@@ -39,7 +40,13 @@ def init_params(dims: LlamaDims, key, dtype=jnp.float32) -> Dict:
     def layer(k):
         ks = jax.random.split(k, 7)
         d, h, kv, dh = dims.hidden_size, dims.n_heads, dims.n_kv_heads, dims.head_dim
+        extra = (
+            {"q_norm": jnp.ones((dh,), dtype), "k_norm": jnp.ones((dh,), dtype)}
+            if dims.qk_norm
+            else {}
+        )
         return {
+            **extra,
             "attn_norm": jnp.ones((d,), dtype),
             "wq": _lin(ks[0], d, h * dh, dtype),
             "wk": _lin(ks[1], d, kv * dh, dtype),
@@ -120,6 +127,9 @@ def forward(
         q = q.reshape(B, S, dims.n_heads, dims.head_dim)
         k = k.reshape(B, S, dims.n_kv_heads, dims.head_dim)
         v = v.reshape(B, S, dims.n_kv_heads, dims.head_dim)
+        if dims.qk_norm:
+            q = _rms_norm(q, bp["q_norm"], dims.rms_eps)
+            k = _rms_norm(k, bp["k_norm"], dims.rms_eps)
         q = _rope(q, positions, dims.rope_theta)
         k = _rope(k, positions, dims.rope_theta)
 
@@ -191,8 +201,15 @@ def convert_hf_state_dict(
     layers = []
     for i in range(dims.n_layers):
         p = f"{prefix}layers.{i}."
+        extra = {}
+        if dims.qk_norm:
+            extra = {
+                "q_norm": jnp.asarray(sd[p + "self_attn.q_norm.weight"], dtype),
+                "k_norm": jnp.asarray(sd[p + "self_attn.k_norm.weight"], dtype),
+            }
         layers.append(
             {
+                **extra,
                 "attn_norm": jnp.asarray(sd[p + "input_layernorm.weight"], dtype),
                 "wq": t(p + "self_attn.q_proj.weight"),
                 "wk": t(p + "self_attn.k_proj.weight"),
