@@ -153,13 +153,15 @@ class WLKServer:
         return web.Response(text=render_index(), content_type="text/html")
 
     async def health(self, request: web.Request) -> web.Response:
-        return web.json_response(
-            {
-                "status": "ok",
-                "backend": getattr(self.config, "backend", "jax-tpu"),
-                "ready": self.engine is not None,
-            }
-        )
+        payload = {
+            "status": "ok",
+            "backend": getattr(self.config, "backend", "jax-tpu"),
+            "ready": self.engine is not None,
+        }
+        sched = getattr(self.engine, "scheduler", None)
+        if sched is not None:
+            payload["scheduler"] = sched.stats()
+        return web.json_response(payload)
 
     async def list_models(self, request: web.Request) -> web.Response:
         model_size = getattr(self.config, "model_size", "base")
