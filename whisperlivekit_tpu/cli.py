@@ -110,6 +110,16 @@ def _format_result(state, fmt: str) -> str:
             ensure_ascii=False,
             indent=2,
         )
+    if fmt == "tsv":
+        from .harness.harness import _parse_time
+
+        rows = ["start\tend\ttext"]
+        for ln in state.speech_lines:
+            rows.append(
+                f"{round(1000 * _parse_time(ln['start']))}\t"
+                f"{round(1000 * _parse_time(ln['end']))}\t{ln['text'].strip()}"
+            )
+        return "\n".join(rows)
     if fmt in ("srt", "vtt"):
         from .harness.harness import _parse_time
 
