@@ -82,6 +82,17 @@ def build_initial_tokens(
     return tokens
 
 
+def truncate_initial_tokens(initial: List[int], width: int, sot_prev: int) -> List[int]:
+    """Fit the initial sequence into the static prefill width, always
+    retaining <|startofprev|> at position 0 when present — raw prompt tokens
+    without it are out-of-distribution for the model."""
+    if len(initial) <= width:
+        return initial
+    if initial[0] == sot_prev:
+        return [sot_prev] + initial[-(width - 1) :]
+    return initial[-width:]
+
+
 # ---------------------------------------------------------------------------
 # Jitted greedy sampling loop
 # ---------------------------------------------------------------------------
@@ -281,8 +292,10 @@ class WhisperDecoder:
     def __init__(self, params, dims: ModelDimensions, tokenizer_factory=None):
         self.params = params
         self.dims = dims
-        # static prefill width: half the text context (224 for real models)
-        self.prompt_width = min(224, dims.n_text_ctx // 2)
+        # static prefill width: holds the maximal initial sequence —
+        # sot_prev + (n_text_ctx//2 - 1) prompt tokens + sot sequence (≤4)
+        # (reference whisper/decoding.py _get_initial_tokens bounds)
+        self.prompt_width = min(dims.n_text_ctx // 2 + 8, dims.n_text_ctx - 8)
         self._tokenizers: dict = {}
         self._tokenizer_factory = tokenizer_factory
 
@@ -365,12 +378,11 @@ class WhisperDecoder:
         sample_begin = len(initial)
         sot_index = initial.index(tokenizer.sot)
         sample_len = options.sample_len or self.dims.n_text_ctx // 2
-        sample_len = min(sample_len, self.dims.n_text_ctx - sample_begin - 1)
 
-        if sample_begin > self.prompt_width:
-            initial = initial[-self.prompt_width :]
-            sample_begin = len(initial)
-            sot_index = initial.index(tokenizer.sot)
+        initial = truncate_initial_tokens(initial, self.prompt_width, tokenizer.sot_prev)
+        sample_begin = len(initial)
+        sot_index = initial.index(tokenizer.sot)
+        sample_len = min(sample_len, self.dims.n_text_ctx - sample_begin - 1)
 
         prompt = np.full((B * n_group, self.prompt_width), tokenizer.eot, np.int32)
         prompt[:, :sample_begin] = initial

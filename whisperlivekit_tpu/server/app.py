@@ -12,6 +12,7 @@ dependencies and one event loop owning both HTTP and WS.
 from __future__ import annotations
 
 import asyncio
+import hmac
 import logging
 import os
 from typing import Optional
@@ -30,7 +31,8 @@ def _token_ok(config: WLKConfig, token: Optional[str]) -> bool:
     expected = config.api_token or os.environ.get("WLK_API_TOKEN")
     if not expected:
         return True
-    return token == expected
+    # constant-time comparison (timing side channel)
+    return hmac.compare_digest(token or "", expected)
 
 
 def _bearer(request: web.Request) -> Optional[str]:

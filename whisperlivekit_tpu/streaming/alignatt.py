@@ -412,8 +412,10 @@ def alignatt_tick(
 
     out = jax.lax.while_loop(cond, body, init)
     # lanes still active at loop exhaustion keep everything they decoded
+    # (reference breaks out of the token loop with the tokens in hand;
+    # dropping them would re-decode + re-drop the same prefix every tick)
     reason = jnp.where(out["active"], STOP_CAP, out["reason"])
-    n_keep = jnp.where(out["active"], jnp.zeros_like(out["n_keep"]), out["n_keep"])
+    n_keep = jnp.where(out["active"], jnp.int32(max_steps), out["n_keep"])
     return (
         out["new_tokens"],
         n_keep,
@@ -561,9 +563,19 @@ def run_tick_batch(
     dims = engine.dims
     p_max = max(engine.bucket_for(len(t.prefix_ids)) for t in ticks)
 
+    # Pool rows must stay in sync with the sessions' _pool_synced bookkeeping
+    # (committed in prepare_tick), so apply updates for every pool-backed lane
+    # even when a mixed batch forces the direct-transfer path below.
+    if pool is not None:
+        pool.update(
+            [
+                (t.pool_lane, *t.pool_update)
+                for t in ticks
+                if t.pool_lane is not None and t.pool_update is not None
+            ]
+        )
     pool_mode = pool is not None and all(t.pool_lane is not None for t in ticks)
     if pool_mode:
-        pool.update([(t.pool_lane, *t.pool_update) for t in ticks if t.pool_update])
         lanes = [t.pool_lane for t in ticks] + [0] * (B - n)
         audio_dev = pool.gather(lanes)
     else:
@@ -860,6 +872,8 @@ class AlignAttSession:
         """Compute the incremental device-window update for pool mode."""
         if self.pool is None:
             return
+        if self.cfg.decoder_type == "beam" and self.cfg.beam_size > 1:
+            return  # beam ticks use direct transfer; don't advance sync state
         if self.pool_lane is None:
             self.pool_lane = self.pool.acquire()
             if self.pool_lane is None:  # pool exhausted: plain transfer path

@@ -271,8 +271,9 @@ def alignatt_tick_beam(
         )
 
     out = jax.lax.while_loop(cond, body, init)
+    # lanes active at exhaustion keep everything decoded (see alignatt_tick)
     reason = jnp.where(out["active"], STOP_CAP, out["reason"])
-    n_keep = jnp.where(out["active"], jnp.zeros_like(out["n_keep"]), out["n_keep"])
+    n_keep = jnp.where(out["active"], jnp.int32(max_steps), out["n_keep"])
 
     # best beam per lane = sub-lane 0 (kept sorted by top_k each step)
     best_lane = jnp.arange(B, dtype=jnp.int32) * beam
