@@ -1,12 +1,25 @@
-"""AudioProcessor: per-connection asyncio pipeline.
+"""AudioProcessor: per-connection streaming pipeline.
 
-Behavioral parity with reference audio_processor.py:54-1001 — PCM framing,
-VAC event segmentation with sample-precise silence accounting, fan-out to
-transcription/diarization/translation asyncio queues (one task each), lag
-watermarks, silent-backend watchdog, results formatter, watchdog, cleanup.
+Same session *contract* as the reference (reference audio_processor.py:54-1001):
+``process_audio(bytes)`` in, ``create_tasks()`` → FrontData generator out,
+duck-typed online processors underneath, sample-precise silence accounting,
+lag watermarks, fail-loud guards.
 
-The compute behind ``process_iter`` is the shared TPU engine; this module is
-pure host asyncio orchestration.
+Different *construction*: instead of one god-object with a method per
+concern, the pipeline is assembled from small single-purpose parts —
+
+- :class:`PcmIngest`        — byte framing + VAD segmentation + silence gate
+- :class:`SilenceGate`      — explicit speech/silence state machine
+- :class:`StateStore`       — the session State behind a lock, with all
+                              watermark arithmetic in one place
+- :class:`_Worker` family   — one queue consumer per modality
+  (:class:`TranscribeWorker`, :class:`DiarizeWorker`, :class:`TranslateWorker`)
+- :class:`TranslationRouter`— translate-on-complete batching + tail routing
+- :class:`InferenceRunner`  — the inline/thread/scheduler dispatch policy
+- :class:`AudioProcessor`   — thin façade owning lifecycle + the formatter
+
+The compute behind ``process_iter`` is the shared TPU engine; everything in
+this module is host asyncio orchestration.
 """
 
 from __future__ import annotations
@@ -15,7 +28,7 @@ import asyncio
 import logging
 import traceback
 from time import time
-from typing import Any, AsyncGenerator, List, Optional, Union
+from typing import Any, AsyncGenerator, Awaitable, Callable, List, Optional, Union
 
 import numpy as np
 
@@ -43,7 +56,9 @@ from .metrics import SessionMetrics
 logger = logging.getLogger(__name__)
 
 SENTINEL = object()
-MIN_DURATION_REAL_SILENCE = 5.0  # reference audio_processor.py:26
+MIN_DURATION_REAL_SILENCE = 5.0  # silences shorter than this are not displayed
+SAMPLE_RATE = 16000
+BYTES_PER_SAMPLE = 2
 
 
 def _inline_inference_default() -> bool:
@@ -59,28 +74,666 @@ def _inline_inference_default() -> bool:
 
 
 async def get_all_from_queue(queue: asyncio.Queue):
-    """Wait for one item, then greedily concat contiguous PCM chunks
-    (reference audio_processor.py:28-52)."""
+    """Wait for one item; greedily coalesce immediately-available PCM chunks
+    into one array. Non-PCM control items are never reordered past PCM."""
     item = await queue.get()
     if item is SENTINEL or not isinstance(item, np.ndarray):
         return item
-    chunks = [item]
+    parts = [item]
     while True:
         try:
             nxt = queue.get_nowait()
         except asyncio.QueueEmpty:
             break
-        if isinstance(nxt, np.ndarray):
-            chunks.append(nxt)
-        else:
-            # non-PCM item: put it back for the next round
-            queue.put_nowait(nxt)
+        if not isinstance(nxt, np.ndarray):
+            queue.put_nowait(nxt)  # leave control items for the next round
             break
-    return np.concatenate(chunks) if len(chunks) > 1 else chunks[0]
+        parts.append(nxt)
+    return np.concatenate(parts) if len(parts) > 1 else parts[0]
+
+
+class InferenceRunner:
+    """Dispatch policy for backend calls: a scheduler-provided async variant
+    when the bound object exposes ``<name>_async``, else inline on the loop
+    or in a worker thread depending on platform."""
+
+    def __init__(self) -> None:
+        self.inline = _inline_inference_default()
+
+    async def __call__(self, fn: Callable, *args):
+        owner = getattr(fn, "__self__", None)
+        async_fn = getattr(owner, fn.__name__ + "_async", None) if owner else None
+        if async_fn is not None:
+            return await async_fn(*args)
+        if self.inline:
+            return fn(*args)
+        return await asyncio.to_thread(fn, *args)
+
+
+class StateStore:
+    """The session State behind one asyncio.Lock.
+
+    Every watermark rule lives here: ``end_buffer`` (latest known end),
+    ``end_transcription_processed`` (audio the backend consumed),
+    ``end_transcription_committed`` (audio covered by committed words),
+    ``end_attributed_speaker`` (diarization frontier).
+    """
+
+    def __init__(self, retention_seconds: float) -> None:
+        self.state = State()
+        self.lock = asyncio.Lock()
+        self.retention_seconds = retention_seconds
+
+    async def commit(
+        self,
+        tokens: List[ASRToken],
+        buffer: Optional[Transcript],
+        processed_upto: float,
+    ) -> None:
+        """Fold one transcription result into the State."""
+        ends = [self.state.end_buffer, processed_upto]
+        if tokens:
+            ends.append(tokens[-1].end)
+        if buffer is not None and buffer.end is not None:
+            ends.append(buffer.end)
+        async with self.lock:
+            st = self.state
+            st.tokens.extend(tokens)
+            if buffer is not None:
+                st.buffer_transcription = buffer
+                st.new_tokens_buffer = buffer
+            st.end_buffer = max(ends)
+            st.end_transcription_processed = max(
+                st.end_transcription_processed, processed_upto
+            )
+            if tokens:
+                st.end_transcription_committed = max(
+                    st.end_transcription_committed, tokens[-1].end or 0.0
+                )
+            st.new_tokens.extend(tokens)
+            self._drop_expired()
+
+    async def set_buffer(self, buffer: Transcript) -> None:
+        async with self.lock:
+            self.state.buffer_transcription = buffer
+
+    async def mark_processed(self, upto: float) -> None:
+        """Advance the processed watermark only (end-of-stream, no output)."""
+        async with self.lock:
+            self.state.end_transcription_processed = max(
+                self.state.end_transcription_processed, upto
+            )
+
+    async def add_display_silence(self, silence: Silence) -> None:
+        async with self.lock:
+            self.state.new_tokens.append(silence)
+
+    async def merge_diarization(self, segments: list, replace: bool) -> None:
+        if not segments and not replace:
+            return
+        frontier = max((getattr(s, "end", 0.0) for s in segments), default=0.0)
+        async with self.lock:
+            if replace:
+                self.state.new_diarization = segments
+            else:
+                self.state.new_diarization.extend(segments)
+            self.state.end_attributed_speaker = max(
+                self.state.end_attributed_speaker, frontier
+            )
+
+    async def merge_translation(self, translation, buffer) -> None:
+        async with self.lock:
+            self.state.new_translation.append(translation)
+            self.state.new_translation_buffer = buffer
+
+    def _drop_expired(self) -> None:
+        """Bound state.tokens by the retention policy (lock held)."""
+        st = self.state
+        if not st.tokens:
+            return
+        cutoff = max(st.end_buffer, st.tokens[-1].end) - self.retention_seconds
+        if cutoff <= 0:
+            return
+        keep = next((i for i, t in enumerate(st.tokens) if t.end >= cutoff), None)
+        if keep is None:
+            st.tokens = st.tokens[-1:]
+        elif keep:
+            st.tokens = st.tokens[keep:]
+
+    async def snapshot(
+        self,
+        *,
+        audio_seconds: float,
+        beg_loop: Optional[float],
+        transcription_enabled: bool,
+    ) -> State:
+        """Refresh derived lag fields and return the State (shared object)."""
+        async with self.lock:
+            st = self.state
+            st.remaining_time_transcription = 0.0
+            if st.end_buffer > 0 and beg_loop:
+                st.remaining_time_transcription = max(
+                    0, round(time() - beg_loop - st.end_buffer, 1)
+                )
+            st.remaining_time_diarization = 0.0
+            if st.tokens:
+                latest = max(st.end_buffer, st.tokens[-1].end or 0)
+                st.remaining_time_diarization = max(
+                    0, round(latest - st.end_attributed_speaker, 1)
+                )
+            if transcription_enabled:
+                committed = st.end_transcription_committed
+                if st.tokens:
+                    committed = max(committed, st.tokens[-1].end or 0.0)
+                st.end_transcription_committed = committed
+                processed = max(0.0, st.end_transcription_processed)
+                st.remaining_time_transcription_processing = max(
+                    0.0, round(audio_seconds - processed, 1)
+                )
+                st.remaining_time_transcription_policy = max(
+                    0.0, round(processed - committed, 1)
+                )
+            else:
+                st.remaining_time_transcription_processing = 0.0
+                st.remaining_time_transcription_policy = 0.0
+            return st
+
+
+class SilenceGate:
+    """Speech/silence state machine with sample-precise transitions.
+
+    States: OPEN (speech flowing) / CLOSED (in silence). The gate owns the
+    ``current_silence`` record; transitions notify the processor so it can
+    fan events out to the worker queues.
+    """
+
+    def __init__(
+        self,
+        metrics: SessionMetrics,
+        on_begin: Callable[[Silence], Awaitable[None]],
+        on_end: Callable[[Silence], Awaitable[None]],
+    ) -> None:
+        self.current: Optional[Silence] = None
+        self._metrics = metrics
+        self._on_begin = on_begin
+        self._on_end = on_end
+
+    @property
+    def closed(self) -> bool:
+        return self.current is not None
+
+    def open_initial(self) -> None:
+        """Streams start inside silence until the VAD says otherwise."""
+        self.current = Silence(start=0.0, is_starting=True)
+
+    async def close(self, at_seconds: float) -> None:
+        """speech → silence."""
+        if self.current:
+            return
+        self.current = Silence(is_starting=True, start=at_seconds)
+        await self._on_begin(Silence(is_starting=True, start=at_seconds))
+
+    async def open(self, at_seconds: float) -> Optional[Silence]:
+        """silence → speech; returns the completed Silence record."""
+        if not self.current:
+            return None
+        sil = self.current
+        sil.end = at_seconds
+        sil.is_starting = False
+        sil.has_ended = True
+        sil.compute_duration()
+        self._metrics.n_silence_events += 1
+        if sil.duration is not None:
+            self._metrics.total_silence_duration_s += sil.duration
+        self.current = None
+        await self._on_end(sil)
+        return sil
+
+
+class SilentBackendAlarm:
+    """One loud error if the backend produced nothing after N seconds of
+    audio — the 'everything looks fine but no captions' failure mode."""
+
+    WARN_AFTER_SECONDS = 20.0
+
+    def __init__(self) -> None:
+        self.any_output = False
+        self.warned = False
+
+    def observe(self, produced_output: bool, audio_seconds: float) -> None:
+        if produced_output:
+            self.any_output = True
+            return
+        if self.any_output or self.warned or audio_seconds < self.WARN_AFTER_SECONDS:
+            return
+        self.warned = True
+        logger.error(
+            "ASR backend produced no output after %.0f s of audio. The backend is "
+            "likely failing on every chunk; check earlier warnings for the root cause.",
+            audio_seconds,
+        )
+
+
+class TranslationRouter:
+    """Feeds the translation queue; with translate-on-complete, holds tokens
+    until a sentence closes (anti-flicker)."""
+
+    def __init__(self, queue: Optional[asyncio.Queue], on_complete: bool) -> None:
+        self.queue = queue
+        self.on_complete = on_complete
+        self._held: List[ASRToken] = []
+
+    async def route(self, tokens: List[ASRToken]) -> None:
+        if not self.queue or not tokens:
+            return
+        if not self.on_complete:
+            for t in tokens:
+                await self.queue.put(t)
+            return
+        self._held.extend(tokens)
+        closed_upto = max(
+            (i for i, t in enumerate(self._held) if t.has_punctuation()), default=-1
+        )
+        if closed_upto >= 0:
+            for t in self._held[: closed_upto + 1]:
+                await self.queue.put(t)
+            self._held = self._held[closed_upto + 1 :]
+
+    async def flush(self) -> None:
+        if self.queue:
+            for t in self._held:
+                await self.queue.put(t)
+        self._held = []
+
+    async def route_tail(self, translation_backend, buffer: Optional[Transcript]) -> None:
+        """Draft-ahead translators also want the unstable hypothesis."""
+        if not self.queue or translation_backend is None:
+            return
+        if not getattr(translation_backend, "wants_hypothesis_tail", False):
+            return
+        text = (buffer.text or "").strip() if buffer else ""
+        if text:
+            await self.queue.put(
+                HypothesisTail(start=buffer.start, end=buffer.end, text=text)
+            )
+
+
+# ---------------------------------------------------------------------------
+# Queue workers (one per modality)
+# ---------------------------------------------------------------------------
+
+
+class _Worker:
+    """Base queue consumer: dispatches items by type, guards exceptions,
+    runs a finish hook on SENTINEL."""
+
+    name = "worker"
+
+    def __init__(self, queue: asyncio.Queue) -> None:
+        self.queue = queue
+
+    async def run(self) -> None:
+        while True:
+            try:
+                item = await self._next_item()
+                if item is _SKIP:
+                    continue
+                if item is SENTINEL:
+                    await self.finish()
+                    break
+                await self.dispatch(item)
+            except Exception as e:
+                logger.warning("Exception in %s: %s", self.name, e)
+                logger.debug(traceback.format_exc())
+        await self.closed()
+        logger.info("%s task finished.", self.name)
+
+    async def _next_item(self):
+        return await get_all_from_queue(self.queue)
+
+    async def dispatch(self, item) -> None:
+        if isinstance(item, Silence):
+            await self.on_silence(item)
+        elif isinstance(item, ChangeSpeaker):
+            await self.on_speaker(item)
+        elif isinstance(item, np.ndarray):
+            await self.on_pcm(item)
+        else:
+            await self.on_other(item)
+
+    async def on_silence(self, item: Silence) -> None: ...
+    async def on_speaker(self, item: ChangeSpeaker) -> None: ...
+    async def on_pcm(self, item: np.ndarray) -> None: ...
+    async def on_other(self, item) -> None: ...
+    async def finish(self) -> None: ...
+    async def closed(self) -> None: ...
+
+
+_SKIP = object()
+
+
+class TranscribeWorker(_Worker):
+    """Drives the online ASR processor and folds its results into the State.
+
+    Keeps the *stream clock*: cumulative seconds of active audio + completed
+    silences, which is what `processed_upto` watermarks are measured against.
+    """
+
+    name = "transcription_processor"
+    IDLE_REFRESH_S = 0.5  # streaming backends emit between chunks; poll buffer
+
+    def __init__(
+        self,
+        queue: asyncio.Queue,
+        backend,
+        store: StateStore,
+        infer: InferenceRunner,
+        metrics: SessionMetrics,
+        alarm: SilentBackendAlarm,
+        router: TranslationRouter,
+        sep: str,
+    ) -> None:
+        super().__init__(queue)
+        self.backend = backend
+        self.store = store
+        self.infer = infer
+        self.metrics = metrics
+        self.alarm = alarm
+        self.router = router
+        self.sep = sep
+        self.stream_clock = 0.0
+
+    async def _next_item(self):
+        try:
+            return await asyncio.wait_for(
+                get_all_from_queue(self.queue), timeout=self.IDLE_REFRESH_S
+            )
+        except asyncio.TimeoutError:
+            await self.store.set_buffer(self.backend.get_buffer())
+            return _SKIP
+
+    # -- handlers --
+
+    async def on_pcm(self, pcm: np.ndarray) -> None:
+        self.stream_clock += len(pcm) / SAMPLE_RATE
+        self.backend.insert_audio_chunk(pcm, self.stream_clock)
+        t0 = time()
+        tokens, upto = await self.infer(self.backend.process_iter)
+        self.metrics.transcription_durations.append(time() - t0)
+        self.metrics.n_transcription_calls += 1
+        tokens = tokens or []
+        self.metrics.n_tokens_produced += len(tokens)
+        await self._publish(tokens, upto)
+
+    async def on_silence(self, item: Silence) -> None:
+        tokens: List[ASRToken] = []
+        upto = self.store.state.end_buffer
+        if item.is_starting:
+            tokens, upto = await self.infer(self.backend.start_silence)
+            tokens = tokens or []
+        if item.has_ended:
+            self.stream_clock += item.duration
+            upto = self.stream_clock
+            last_end = (
+                self.store.state.tokens[-1].end if self.store.state.tokens else 0
+            )
+            self.backend.end_silence(item.duration, last_end)
+        await self._publish(tokens, max(upto, self.stream_clock))
+
+    async def on_speaker(self, item: ChangeSpeaker) -> None:
+        self.backend.new_speaker(item)
+
+    async def _publish(self, tokens: List[ASRToken], upto: float) -> None:
+        buffer = self.backend.get_buffer()
+        if tokens:
+            # committed words may still sit at the head of the hypothesis
+            committed_text = self.sep.join(t.text for t in tokens)
+            if buffer.text.startswith(committed_text):
+                buffer.text = buffer.text[len(committed_text) :].lstrip()
+        await self.store.commit(tokens, buffer, upto)
+        self.alarm.observe(bool(tokens) or bool(buffer.text.strip()), self.stream_clock)
+        await self.router.route(tokens)
+        await self.router.route_tail(getattr(self, "_translation_backend", None), buffer)
+
+    # -- end of stream --
+
+    async def finish(self) -> None:
+        try:
+            await self._finish_inner()
+        except Exception as e:
+            logger.warning("Error finishing transcription: %s", e)
+            logger.debug(traceback.format_exc())
+
+    async def _finish_inner(self) -> None:
+        if hasattr(self.backend, "finish"):
+            tokens, end_time = await self.infer(self.backend.finish)
+        else:
+            tokens, end_time = await self.infer(self.backend.start_silence)
+        tokens = tokens or []
+        buffer = self.backend.get_buffer()
+
+        if not tokens:
+            tokens, buffer = self._promote_pending_buffer(end_time, buffer)
+        if tokens:
+            self.metrics.n_tokens_produced += len(tokens)
+            await self.store.commit(tokens, buffer, end_time)
+            await self.router.route(tokens)
+        else:
+            await self.store.mark_processed(end_time)
+        await self.router.flush()
+
+    def _promote_pending_buffer(self, end_time, buffer):
+        """A non-empty unstable buffer at EOF becomes one final token rather
+        than silently vanishing."""
+        pending = self.store.state.buffer_transcription
+        text = (pending.text or "").strip() if pending else ""
+        if not text:
+            return [], buffer
+        start = pending.start if pending.start is not None else self.store.state.end_buffer
+        end = pending.end if pending.end is not None else end_time
+        if end is None or end < start:
+            end = start
+        token = ASRToken(
+            start=start, end=end, text=text, detected_language=pending.detected_language
+        )
+        return [token], Transcript()
+
+
+class DiarizeWorker(_Worker):
+    name = "diarization_processor"
+
+    def __init__(self, queue: asyncio.Queue, backend, store: StateStore) -> None:
+        super().__init__(queue)
+        self.backend = backend
+        self.store = store
+        # backends with an internal buffer are drained until dry; others
+        # return a cumulative snapshot that replaces previous segments
+        self.drains = hasattr(backend, "buffer_audio")
+
+    async def on_pcm(self, pcm: np.ndarray) -> None:
+        self.backend.insert_audio_chunk(pcm)
+        if self.drains:
+            await self._drain()
+        else:
+            segments = await self.backend.diarize()
+            await self.store.merge_diarization(segments, replace=True)
+
+    async def on_silence(self, item: Silence) -> None:
+        if item.has_ended:
+            self.backend.insert_silence(item.duration)
+
+    async def _drain(self) -> None:
+        while True:
+            segments = await self.backend.diarize()
+            if not segments:
+                return
+            await self.store.merge_diarization(segments, replace=False)
+
+    async def closed(self) -> None:
+        if self.drains:
+            try:
+                await self._drain()
+            except Exception as e:
+                logger.warning("Exception draining diarization buffer: %s", e)
+
+
+class TranslateWorker(_Worker):
+    name = "translation_processor"
+
+    def __init__(
+        self, queue: asyncio.Queue, backend, store: StateStore, infer: InferenceRunner
+    ) -> None:
+        super().__init__(queue)
+        self.backend = backend
+        self.store = store
+        self.infer = infer
+
+    async def on_silence(self, item: Silence) -> None:
+        if item.is_starting:
+            await self._maybe_merge(*self.backend.validate_buffer_and_reset())
+        if item.has_ended:
+            self.backend.insert_silence(item.duration)
+
+    async def on_speaker(self, item: ChangeSpeaker) -> None:
+        await self._maybe_merge(*self.backend.validate_buffer_and_reset())
+
+    async def on_other(self, item) -> None:
+        self.backend.insert_tokens(item)
+        translation, buffer = await self.infer(self.backend.process)
+        await self._maybe_merge(translation, buffer)
+
+    # tokens arrive one-by-one, never as ndarrays; route them the same way
+    on_pcm = on_other
+
+    async def _maybe_merge(self, translation, buffer) -> None:
+        if translation is not None:
+            await self.store.merge_translation(translation, buffer)
+
+
+# ---------------------------------------------------------------------------
+# Input side: PCM framing + VAD segmentation
+# ---------------------------------------------------------------------------
+
+
+class PcmIngest:
+    """Turns raw s16le bytes into speech/silence-segmented float chunks.
+
+    Buffers until one framing chunk is available, runs the (optional) VAD,
+    clamps event samples into the chunk, and hands active audio spans + gate
+    transitions to the processor.
+    """
+
+    def __init__(
+        self,
+        processor: "AudioProcessor",
+        vad,
+        vad_is_async: bool,
+        use_vad: bool,
+        chunk_seconds: float,
+    ) -> None:
+        self.proc = processor
+        self.vad = vad
+        self.vad_is_async = vad_is_async
+        self.use_vad = use_vad
+        self.buffer = bytearray()
+        self.total_samples = 0
+        self.min_bytes = int(SAMPLE_RATE * chunk_seconds) * BYTES_PER_SAMPLE
+        self.max_bytes = 32000 * 5
+
+    @property
+    def seconds(self) -> float:
+        return self.total_samples / SAMPLE_RATE
+
+    def feed(self, data: bytes) -> None:
+        self.buffer.extend(data)
+
+    @staticmethod
+    def to_float(pcm: Union[bytes, bytearray]) -> np.ndarray:
+        from .. import native
+
+        return native.s16le_to_f32(bytes(pcm))
+
+    def _take_aligned(self, limit: Optional[int] = None) -> Optional[np.ndarray]:
+        n = len(self.buffer) if limit is None else min(len(self.buffer), limit)
+        n -= n % BYTES_PER_SAMPLE
+        if n == 0:
+            return None
+        arr = self.to_float(self.buffer[:n])
+        del self.buffer[:n]
+        return arr
+
+    async def pump(self) -> None:
+        """Consume the byte buffer if a full framing chunk is ready."""
+        gate = self.proc.silence_gate
+        if not self.use_vad and gate.closed:
+            # without a detector, nothing can end the opening silence
+            await self.proc.on_silence_open(self.total_samples)
+
+        if len(self.buffer) < self.min_bytes:
+            return
+        if len(self.buffer) > self.max_bytes:
+            logger.warning(
+                "Audio buffer too large: %.2fs; consider a smaller model.",
+                len(self.buffer) / (SAMPLE_RATE * BYTES_PER_SAMPLE),
+            )
+        pcm = self._take_aligned(self.max_bytes)
+        if pcm is None:
+            return
+        await self._segment(pcm)
+        if not self.proc.args.transcription and not self.proc.args.diarization:
+            await asyncio.sleep(0.1)  # nothing consumes; don't spin the loop
+
+    async def flush(self) -> None:
+        """EOF: emit whatever is left, ending any open silence first."""
+        pcm = self._take_aligned()
+        if pcm is None:
+            return
+        if self.proc.silence_gate.closed:
+            await self.proc.on_silence_open(self.total_samples)
+        self.total_samples += len(pcm)
+        await self.proc.on_active_audio(pcm)
+        logger.info(
+            "Flushed remaining PCM buffer: %d samples (%.2fs)",
+            len(pcm), len(pcm) / SAMPLE_RATE,
+        )
+
+    async def _segment(self, pcm: np.ndarray) -> None:
+        """Split one chunk at VAD boundaries (sample-precise: active +
+        silence spans sum exactly to stream time)."""
+        lo = self.total_samples
+        hi = lo + len(pcm)
+        events = []
+        if self.use_vad and self.vad is not None:
+            events = (await self.vad(pcm) if self.vad_is_async else self.vad(pcm)) or []
+
+        gate = self.proc.silence_gate
+        cursor = 0  # offset into pcm of un-emitted audio
+        for ev in events:
+            if "start" in ev and gate.closed:
+                at = int(np.clip(int(ev["start"]), lo, hi))
+                await self.proc.on_silence_open(at)
+                cursor = at - lo
+            if "end" in ev and not gate.closed:
+                at = int(np.clip(int(ev["end"]), lo, hi))
+                if at - lo > cursor:
+                    await self.proc.on_active_audio(pcm[cursor : at - lo])
+                await self.proc.on_silence_close(at)
+                cursor = at - lo
+        if not gate.closed and cursor < len(pcm):
+            await self.proc.on_active_audio(pcm[cursor:])
+        self.total_samples = hi
+
+
+# ---------------------------------------------------------------------------
+# The façade
+# ---------------------------------------------------------------------------
 
 
 class AudioProcessor:
-    """One instance per connection/session."""
+    """One instance per connection/session. Public surface:
+    ``process_audio(bytes)``, ``create_tasks() -> async generator of
+    FrontData``, ``cleanup()`` (the whole server boundary, as in the
+    reference's docs/technical_integration.md)."""
 
     def __init__(self, **kwargs: Any) -> None:
         session_language = kwargs.pop("language", None)
@@ -91,776 +744,194 @@ class AudioProcessor:
         if not isinstance(engine, TranscriptionEngine):
             engine = TranscriptionEngine(**kwargs)
         self.engine = engine
-
         self.args = engine.args
-        self.sample_rate = 16000
+
+        self.sample_rate = SAMPLE_RATE
         self.channels = 1
-        chunk_seconds = self.args.vac_chunk_size if self.args.vac else self.args.min_chunk_size
-        self.samples_per_sec = int(self.sample_rate * chunk_seconds)
-        self.bytes_per_sample = 2
-        self.bytes_per_sec = self.samples_per_sec * self.bytes_per_sample
-        self.max_bytes_per_sec = 32000 * 5
         self.is_pcm_input = self.args.pcm_input
-
         self.is_stopping = False
-        self.current_silence: Optional[Silence] = None
-        self.state = State()
-        self.lock = asyncio.Lock()
-        self.sep = " "
-        self.last_response_content = FrontData()
         self.beg_loop: Optional[float] = None
+        self.metrics = SessionMetrics()
+        self.sep = " "
 
+        retention = resolve_retention_seconds(
+            getattr(self.args, "retention_seconds", None), session_mode
+        )
+        self.store = StateStore(retention)
+        self.silence_gate = SilenceGate(
+            self.metrics, self._fanout_silence, self._fanout_silence_end
+        )
         self.tokens_alignment = TokensAlignment(
-            self.state,
-            self.args,
-            self.sep,
-            retention_seconds=resolve_retention_seconds(
-                getattr(self.args, "retention_seconds", None), session_mode
-            ),
+            self.store.state, self.args, self.sep, retention_seconds=retention
         )
 
-        self.vac = None
-        self._vac_async = False
-        if self.args.vac:
-            if getattr(engine, "vad_scheduler", None) is not None:
-                from ..audio.vad_batched import AsyncFixedVADIterator
+        self._infer = InferenceRunner()
+        self._alarm = SilentBackendAlarm()
 
-                self.vac = AsyncFixedVADIterator(engine.vad_scheduler)
-                self._vac_async = True
-            elif engine.vac_model is not None:
-                # per-session VAD state; the frame model clones its own state
-                self.vac = FixedVADIterator(engine.vac_model.new_session())
-
-        self.ffmpeg_manager: Optional[FFmpegManager] = None
-        self.ffmpeg_reader_task: Optional[asyncio.Task] = None
-        self._ffmpeg_error: Optional[str] = None
-        if not self.is_pcm_input:
-            self.ffmpeg_manager = FFmpegManager(self.sample_rate, self.channels)
-
-            async def on_ffmpeg_error(error_type: str):
-                logger.error("FFmpeg error: %s", error_type)
-                self._ffmpeg_error = error_type
-
-            self.ffmpeg_manager.on_error_callback = on_ffmpeg_error
-
+        # per-modality queues (present iff the modality is configured)
         self.transcription_queue = asyncio.Queue() if self.args.transcription else None
         self.diarization_queue = asyncio.Queue() if self.args.diarization else None
         self.translation_queue = asyncio.Queue() if self.args.target_language else None
-        self.pcm_buffer = bytearray()
-        self.total_pcm_samples = 0
-        self.transcription_task: Optional[asyncio.Task] = None
-        self.diarization_task: Optional[asyncio.Task] = None
-        self.translation_task: Optional[asyncio.Task] = None
-        self.watchdog_task: Optional[asyncio.Task] = None
-        self.all_tasks_for_cleanup: List[asyncio.Task] = []
-        self.metrics = SessionMetrics()
 
+        self._build_backends(session_language, session_target_language)
+        self._router = TranslationRouter(
+            self.translation_queue,
+            bool(getattr(self.args, "translate_on_complete", False)),
+        )
+
+        self.ingest = PcmIngest(
+            self,
+            *self._build_vad(),
+            use_vad=bool(self.args.vac),
+            chunk_seconds=(
+                self.args.vac_chunk_size if self.args.vac else self.args.min_chunk_size
+            ),
+        )
+
+        self.ffmpeg_manager: Optional[FFmpegManager] = None
+        self._ffmpeg_error: Optional[str] = None
+        if not self.is_pcm_input:
+            self.ffmpeg_manager = FFmpegManager(self.sample_rate, self.channels)
+            self.ffmpeg_manager.on_error_callback = self._on_ffmpeg_error
+
+        self._tasks: List[asyncio.Task] = []
+        self._worker_tasks: List[asyncio.Task] = []
+        self.last_response_content = FrontData()
+
+    # -- construction helpers --
+
+    def _build_backends(self, session_language, session_target_language) -> None:
+        engine, args = self.engine, self.args
         self.transcription = None
         self.diarization = None
         self.translation = None
-        if self.args.transcription and engine.asr is not None:
+        if args.transcription and engine.asr is not None:
             self.transcription = online_factory(
-                self.args,
-                engine.asr,
+                args, engine.asr,
                 language=session_language,
                 scheduler=getattr(engine, "scheduler", None),
             )
             self.sep = engine.asr.sep
             self.tokens_alignment.sep = self.sep
-        if self.args.diarization and engine.diarization_model is not None:
-            self.diarization = online_diarization_factory(self.args, engine.diarization_model)
+        if args.diarization and engine.diarization_model is not None:
+            self.diarization = online_diarization_factory(args, engine.diarization_model)
         if engine.translation_model is not None:
-            if session_target_language and session_target_language != self.args.target_language:
+            if session_target_language and session_target_language != args.target_language:
                 self.translation = session_translation_factory(
-                    self.args, engine.translation_model, session_target_language
+                    args, engine.translation_model, session_target_language
                 )
             else:
-                self.translation = online_translation_factory(self.args, engine.translation_model)
+                self.translation = online_translation_factory(args, engine.translation_model)
         elif session_target_language:
             logger.warning(
                 "Session requested target_language=%r but server started without "
-                "translation; ignoring.",
-                session_target_language,
+                "translation; ignoring.", session_target_language,
             )
 
-        self.translate_on_complete = bool(getattr(self.args, "translate_on_complete", False))
-        self._pending_translation_tokens: List[ASRToken] = []
+    def _build_vad(self):
+        if self.args.vac:
+            if getattr(self.engine, "vad_scheduler", None) is not None:
+                from ..audio.vad_batched import AsyncFixedVADIterator
 
-        self._any_asr_output = False
-        self._silent_backend_warned = False
-        self._inline_inference = _inline_inference_default()
+                return AsyncFixedVADIterator(self.engine.vad_scheduler), True
+            if self.engine.vac_model is not None:
+                return FixedVADIterator(self.engine.vac_model.new_session()), False
+        return None, False
 
-    async def _infer(self, fn, *args):
-        """Run an inference callable: the scheduler's async variant when the
-        processor exposes one (``<name>_async``), else inline or in a worker
-        thread per the platform threading policy."""
-        owner = getattr(fn, "__self__", None)
-        async_fn = getattr(owner, fn.__name__ + "_async", None) if owner else None
-        if async_fn is not None:
-            return await async_fn(*args)
-        if self._inline_inference:
-            return fn(*args)
-        return await asyncio.to_thread(fn, *args)
+    async def _on_ffmpeg_error(self, error_type: str) -> None:
+        logger.error("FFmpeg error: %s", error_type)
+        self._ffmpeg_error = error_type
 
-    # ------------------------------------------------------------------
-    # Translation queueing (incl. translate-on-complete, reference :175-246)
-    # ------------------------------------------------------------------
+    # -- compat accessors (tests / harness poke these) --
 
-    async def _queue_tokens_for_translation(self, tokens: List[ASRToken]) -> None:
-        if not self.translation_queue or not tokens:
-            return
-        if not self.translate_on_complete:
-            for token in tokens:
-                await self.translation_queue.put(token)
-            return
-        self._pending_translation_tokens.extend(tokens)
-        last_punc = -1
-        for i, token in enumerate(self._pending_translation_tokens):
-            if token.has_punctuation():
-                last_punc = i
-        if last_punc >= 0:
-            for token in self._pending_translation_tokens[: last_punc + 1]:
-                await self.translation_queue.put(token)
-            self._pending_translation_tokens = self._pending_translation_tokens[last_punc + 1 :]
+    @property
+    def state(self) -> State:
+        return self.store.state
 
-    async def _flush_pending_translation_tokens(self) -> None:
-        if self.translation_queue and self._pending_translation_tokens:
-            for token in self._pending_translation_tokens:
-                await self.translation_queue.put(token)
-            self._pending_translation_tokens = []
+    @property
+    def lock(self) -> asyncio.Lock:
+        return self.store.lock
 
-    async def _queue_hypothesis_tail_for_translation(self, buffer_transcript) -> None:
-        if not self.translation_queue or self.translation is None:
-            return
-        if not getattr(self.translation, "wants_hypothesis_tail", False):
-            return
-        text = (buffer_transcript.text or "").strip() if buffer_transcript else ""
-        if not text:
-            return
-        await self.translation_queue.put(
-            HypothesisTail(start=buffer_transcript.start, end=buffer_transcript.end, text=text)
-        )
+    @property
+    def current_silence(self) -> Optional[Silence]:
+        return self.silence_gate.current
+
+    @property
+    def _silent_backend_warned(self) -> bool:
+        return self._alarm.warned
+
+    @property
+    def total_pcm_samples(self) -> int:
+        return self.ingest.total_samples
+
+    @property
+    def vac(self):
+        return self.ingest.vad
+
+    @property
+    def _vac_async(self) -> bool:
+        return self.ingest.vad_is_async
 
     # ------------------------------------------------------------------
-    # Silent-backend watchdog (reference :198-220)
+    # Event fan-out (gate transitions + active audio → worker queues)
     # ------------------------------------------------------------------
 
-    _SILENT_BACKEND_WARN_SECONDS = 20.0
-
-    def _warn_if_backend_silent(self, audio_seconds: float) -> None:
-        if self._silent_backend_warned or self._any_asr_output:
-            return
-        if audio_seconds < self._SILENT_BACKEND_WARN_SECONDS:
-            return
-        self._silent_backend_warned = True
-        logger.error(
-            "ASR backend produced no output after %.0f s of audio. The backend is "
-            "likely failing on every chunk; check earlier warnings for the root cause.",
-            audio_seconds,
-        )
-
-    # ------------------------------------------------------------------
-    # Silence events (sample-precise, reference :248-305)
-    # ------------------------------------------------------------------
-
-    async def _push_silence_event(self) -> None:
+    def _fanout_queues(self) -> List[asyncio.Queue]:
+        out = []
         if self.transcription_queue:
-            await self.transcription_queue.put(self.current_silence)
+            out.append(self.transcription_queue)
         if self.args.diarization and self.diarization_queue:
-            await self.diarization_queue.put(self.current_silence)
-        if self.translation_queue:
-            await self._flush_pending_translation_tokens()
-            await self.translation_queue.put(self.current_silence)
+            out.append(self.diarization_queue)
+        return out
 
-    async def _begin_silence(self, at_sample: Optional[int] = None) -> None:
-        if self.current_silence:
+    async def _fanout_silence(self, event: Silence) -> None:
+        """Gate closed (silence began): notify every modality."""
+        for q in self._fanout_queues():
+            await q.put(event)
+        if self.translation_queue:
+            await self._router.flush()
+            await self.translation_queue.put(event)
+
+    async def _fanout_silence_end(self, sil: Silence) -> None:
+        """Gate opened (silence ended): display long silences + notify."""
+        if sil.duration and sil.duration > MIN_DURATION_REAL_SILENCE:
+            await self.store.add_display_silence(sil)
+        for q in self._fanout_queues():
+            await q.put(sil)
+        if self.translation_queue:
+            await self._router.flush()
+            await self.translation_queue.put(sil)
+
+    async def on_silence_close(self, at_sample: int) -> None:
+        await self.silence_gate.close(at_sample / SAMPLE_RATE)
+
+    async def on_silence_open(self, at_sample: int) -> None:
+        await self.silence_gate.open(at_sample / SAMPLE_RATE)
+
+    async def on_active_audio(self, pcm: np.ndarray) -> None:
+        if pcm is None or pcm.size == 0:
             return
-        audio_t = (
-            at_sample if at_sample is not None else self.total_pcm_samples
-        ) / self.sample_rate
-        self.current_silence = Silence(is_starting=True, start=audio_t)
-        start_event = Silence(is_starting=True, start=audio_t)
         if self.transcription_queue:
-            await self.transcription_queue.put(start_event)
+            await self.transcription_queue.put(pcm.copy())
         if self.args.diarization and self.diarization_queue:
-            await self.diarization_queue.put(start_event)
-        if self.translation_queue:
-            await self._flush_pending_translation_tokens()
-            await self.translation_queue.put(start_event)
-
-    async def _end_silence(self, at_sample: Optional[int] = None) -> None:
-        if not self.current_silence:
-            return
-        audio_t = (
-            at_sample if at_sample is not None else self.total_pcm_samples
-        ) / self.sample_rate
-        self.current_silence.end = audio_t
-        self.current_silence.is_starting = False
-        self.current_silence.has_ended = True
-        self.current_silence.compute_duration()
-        self.metrics.n_silence_events += 1
-        if self.current_silence.duration is not None:
-            self.metrics.total_silence_duration_s += self.current_silence.duration
-        if self.current_silence.duration and self.current_silence.duration > MIN_DURATION_REAL_SILENCE:
-            self.state.new_tokens.append(self.current_silence)
-        await self._push_silence_event()
-        self.current_silence = None
-
-    async def _enqueue_active_audio(self, pcm_chunk: np.ndarray) -> None:
-        if pcm_chunk is None or pcm_chunk.size == 0:
-            return
-        if self.transcription_queue:
-            await self.transcription_queue.put(pcm_chunk.copy())
-        if self.args.diarization and self.diarization_queue:
-            await self.diarization_queue.put(pcm_chunk.copy())
+            await self.diarization_queue.put(pcm.copy())
 
     # ------------------------------------------------------------------
-    # State / lag watermarks (reference :316-369)
-    # ------------------------------------------------------------------
-
-    @staticmethod
-    def convert_pcm_to_float(pcm_buffer: Union[bytes, bytearray]) -> np.ndarray:
-        from .. import native
-
-        return native.s16le_to_f32(bytes(pcm_buffer))
-
-    def _latest_committed_transcription_end(self) -> float:
-        latest = self.state.end_transcription_committed
-        if self.state.tokens:
-            latest = max(latest, self.state.tokens[-1].end or 0.0)
-        return latest
-
-    async def get_current_state(self) -> State:
-        async with self.lock:
-            current_time = time()
-            remaining_transcription = 0.0
-            if self.state.end_buffer > 0 and self.beg_loop:
-                remaining_transcription = max(
-                    0, round(current_time - self.beg_loop - self.state.end_buffer, 1)
-                )
-            remaining_diarization = 0.0
-            if self.state.tokens:
-                latest_end = max(self.state.end_buffer, self.state.tokens[-1].end or 0)
-                remaining_diarization = max(
-                    0, round(latest_end - self.state.end_attributed_speaker, 1)
-                )
-            self.state.remaining_time_transcription = remaining_transcription
-            self.state.remaining_time_diarization = remaining_diarization
-
-            if getattr(self.args, "transcription", True):
-                audio_received_end = self.total_pcm_samples / self.sample_rate
-                processed_end = max(0.0, self.state.end_transcription_processed)
-                committed_end = self._latest_committed_transcription_end()
-                self.state.end_transcription_committed = committed_end
-                self.state.remaining_time_transcription_processing = max(
-                    0.0, round(audio_received_end - processed_end, 1)
-                )
-                self.state.remaining_time_transcription_policy = max(
-                    0.0, round(processed_end - committed_end, 1)
-                )
-            else:
-                self.state.remaining_time_transcription_processing = 0.0
-                self.state.remaining_time_transcription_policy = 0.0
-            return self.state
-
-    def _prune_state_tokens(self) -> None:
-        if not self.state.tokens:
-            return
-        retention = getattr(self.tokens_alignment, "_retention_seconds", 300.0)
-        latest_end = max(self.state.end_buffer, self.state.tokens[-1].end)
-        cutoff = latest_end - retention
-        if cutoff <= 0:
-            return
-        for idx, token in enumerate(self.state.tokens):
-            if token.end >= cutoff:
-                if idx:
-                    self.state.tokens = self.state.tokens[idx:]
-                return
-        self.state.tokens = self.state.tokens[-1:]
-
-    # ------------------------------------------------------------------
-    # FFmpeg reader (reference :371-431)
-    # ------------------------------------------------------------------
-
-    async def ffmpeg_stdout_reader(self) -> None:
-        beg = time()
-        cancelled = False
-        while True:
-            try:
-                state = (
-                    await self.ffmpeg_manager.get_state()
-                    if self.ffmpeg_manager
-                    else FFmpegState.STOPPED
-                )
-                if state == FFmpegState.FAILED:
-                    logger.error("FFmpeg is in FAILED state, cannot read data")
-                    break
-                if state == FFmpegState.STOPPED:
-                    break
-                if state != FFmpegState.RUNNING:
-                    await asyncio.sleep(0.1)
-                    continue
-
-                current_time = time()
-                elapsed = max(0.0, current_time - beg)
-                buffer_size = max(int(32000 * elapsed), 4096)
-                beg = current_time
-
-                chunk = await self.ffmpeg_manager.read_data(buffer_size)
-                if chunk is None:
-                    await asyncio.sleep(0.05)
-                    continue
-                if chunk == b"":
-                    logger.info("FFmpeg stdout reached EOF.")
-                    break
-                self.pcm_buffer.extend(chunk)
-                await self.handle_pcm_data()
-            except asyncio.CancelledError:
-                cancelled = True
-                break
-            except Exception as e:
-                logger.warning("Exception in ffmpeg_stdout_reader: %s", e)
-                await asyncio.sleep(0.2)
-
-        if cancelled:
-            return
-        await self._flush_remaining_pcm()
-        if self.ffmpeg_manager:
-            await self.ffmpeg_manager.stop()
-        await self._signal_input_complete()
-
-    async def _signal_input_complete(self) -> None:
-        if self.transcription_queue:
-            await self.transcription_queue.put(SENTINEL)
-            return
-        if self.diarization_queue:
-            await self.diarization_queue.put(SENTINEL)
-        if self.translation_queue:
-            await self.translation_queue.put(SENTINEL)
-
-    # ------------------------------------------------------------------
-    # Finish (reference :433-490)
-    # ------------------------------------------------------------------
-
-    async def _finish_transcription(self) -> None:
-        if not self.transcription:
-            return
-        try:
-            if hasattr(self.transcription, "finish"):
-                final_tokens, end_time = await self._infer(self.transcription.finish)
-            else:
-                final_tokens, end_time = await self._infer(self.transcription.start_silence)
-            final_tokens = final_tokens or []
-            _buffer_transcript = self.transcription.get_buffer()
-            if (
-                not final_tokens
-                and self.state.buffer_transcription
-                and self.state.buffer_transcription.text
-            ):
-                pending = self.state.buffer_transcription
-                text = pending.text.strip()
-                if text:
-                    start = pending.start if pending.start is not None else self.state.end_buffer
-                    end = pending.end if pending.end is not None else end_time
-                    if end is None or end < start:
-                        end = start
-                    final_tokens = [
-                        ASRToken(
-                            start=start,
-                            end=end,
-                            text=text,
-                            detected_language=pending.detected_language,
-                        )
-                    ]
-                    _buffer_transcript = Transcript()
-
-            final_committed_end = final_tokens[-1].end if final_tokens else None
-            async with self.lock:
-                self.state.end_transcription_processed = max(
-                    self.state.end_transcription_processed, end_time
-                )
-                if final_committed_end is not None:
-                    self.state.end_transcription_committed = max(
-                        self.state.end_transcription_committed, final_committed_end
-                    )
-            if final_tokens:
-                self.metrics.n_tokens_produced += len(final_tokens)
-                async with self.lock:
-                    self.state.tokens.extend(final_tokens)
-                    self.state.buffer_transcription = _buffer_transcript
-                    self.state.end_buffer = max(self.state.end_buffer, end_time)
-                    self.state.new_tokens.extend(final_tokens)
-                    self.state.new_tokens_buffer = _buffer_transcript
-                    self._prune_state_tokens()
-                await self._queue_tokens_for_translation(final_tokens)
-            await self._flush_pending_translation_tokens()
-        except Exception as e:
-            logger.warning("Error finishing transcription: %s", e)
-            logger.debug(traceback.format_exc())
-
-    # ------------------------------------------------------------------
-    # Transcription consumer (reference :492-615)
-    # ------------------------------------------------------------------
-
-    async def transcription_processor(self) -> None:
-        cumulative_pcm_duration_stream_time = 0.0
-        while True:
-            try:
-                try:
-                    item = await asyncio.wait_for(
-                        get_all_from_queue(self.transcription_queue), timeout=0.5
-                    )
-                except asyncio.TimeoutError:
-                    _buffer_transcript = self.transcription.get_buffer()
-                    async with self.lock:
-                        self.state.buffer_transcription = _buffer_transcript
-                    continue
-
-                if item is SENTINEL:
-                    await self._finish_transcription()
-                    break
-
-                stream_time_end = cumulative_pcm_duration_stream_time
-                new_tokens: List[ASRToken] = []
-                current_audio_processed_upto = self.state.end_buffer
-
-                if isinstance(item, Silence):
-                    if item.is_starting:
-                        new_tokens, current_audio_processed_upto = await self._infer(
-                            self.transcription.start_silence
-                        )
-                    if item.has_ended:
-                        cumulative_pcm_duration_stream_time += item.duration
-                        current_audio_processed_upto = cumulative_pcm_duration_stream_time
-                        self.transcription.end_silence(
-                            item.duration,
-                            self.state.tokens[-1].end if self.state.tokens else 0,
-                        )
-                    new_tokens = new_tokens or []
-                    current_audio_processed_upto = max(
-                        current_audio_processed_upto, stream_time_end
-                    )
-                elif isinstance(item, ChangeSpeaker):
-                    self.transcription.new_speaker(item)
-                    continue
-                elif isinstance(item, np.ndarray):
-                    cumulative_pcm_duration_stream_time += len(item) / self.sample_rate
-                    stream_time_end = cumulative_pcm_duration_stream_time
-                    self.transcription.insert_audio_chunk(item, stream_time_end)
-                    _t0 = time()
-                    new_tokens, current_audio_processed_upto = await self._infer(
-                        self.transcription.process_iter
-                    )
-                    self.metrics.transcription_durations.append(time() - _t0)
-                    self.metrics.n_transcription_calls += 1
-                    new_tokens = new_tokens or []
-                    self.metrics.n_tokens_produced += len(new_tokens)
-
-                _buffer_transcript = self.transcription.get_buffer()
-                buffer_text = _buffer_transcript.text
-
-                if new_tokens:
-                    validated_text = self.sep.join(t.text for t in new_tokens)
-                    if buffer_text.startswith(validated_text):
-                        _buffer_transcript.text = buffer_text[len(validated_text) :].lstrip()
-
-                candidate_end_times = [self.state.end_buffer]
-                if new_tokens:
-                    candidate_end_times.append(new_tokens[-1].end)
-                if _buffer_transcript.end is not None:
-                    candidate_end_times.append(_buffer_transcript.end)
-                candidate_end_times.append(current_audio_processed_upto)
-
-                async with self.lock:
-                    self.state.tokens.extend(new_tokens)
-                    self.state.buffer_transcription = _buffer_transcript
-                    self.state.end_buffer = max(candidate_end_times)
-                    self.state.end_transcription_processed = max(
-                        self.state.end_transcription_processed, current_audio_processed_upto
-                    )
-                    if new_tokens:
-                        self.state.end_transcription_committed = max(
-                            self.state.end_transcription_committed, new_tokens[-1].end or 0.0
-                        )
-                    self.state.new_tokens.extend(new_tokens)
-                    self.state.new_tokens_buffer = _buffer_transcript
-                    self._prune_state_tokens()
-
-                if new_tokens or buffer_text.strip():
-                    self._any_asr_output = True
-                else:
-                    self._warn_if_backend_silent(cumulative_pcm_duration_stream_time)
-
-                await self._queue_tokens_for_translation(new_tokens)
-                await self._queue_hypothesis_tail_for_translation(_buffer_transcript)
-            except Exception as e:
-                logger.warning("Exception in transcription_processor: %s", e)
-                logger.warning(traceback.format_exc())
-
-        if self.is_stopping:
-            if self.diarization_queue:
-                await self.diarization_queue.put(SENTINEL)
-            if self.translation_queue:
-                await self.translation_queue.put(SENTINEL)
-        logger.info("Transcription processor task finished.")
-
-    # ------------------------------------------------------------------
-    # Diarization consumer (reference :617-673)
-    # ------------------------------------------------------------------
-
-    async def _update_diarization_state(self, segments) -> None:
-        if not segments:
-            return
-        diar_end = max(getattr(s, "end", 0.0) for s in segments)
-        async with self.lock:
-            self.state.new_diarization.extend(segments)
-            self.state.end_attributed_speaker = max(
-                self.state.end_attributed_speaker, diar_end
-            )
-
-    async def _drain_diarization_buffer(self) -> None:
-        while True:
-            segments = await self.diarization.diarize()
-            if not segments:
-                break
-            await self._update_diarization_state(segments)
-
-    async def diarization_processor(self) -> None:
-        has_buffer = hasattr(self.diarization, "buffer_audio")
-        while True:
-            try:
-                item = await get_all_from_queue(self.diarization_queue)
-                if item is SENTINEL:
-                    break
-                if isinstance(item, Silence):
-                    if item.has_ended:
-                        self.diarization.insert_silence(item.duration)
-                    continue
-                self.diarization.insert_audio_chunk(item)
-                if has_buffer:
-                    await self._drain_diarization_buffer()
-                else:
-                    segments = await self.diarization.diarize()
-                    diar_end = max((getattr(s, "end", 0.0) for s in segments), default=0.0)
-                    async with self.lock:
-                        self.state.new_diarization = segments
-                        self.state.end_attributed_speaker = max(
-                            self.state.end_attributed_speaker, diar_end
-                        )
-            except Exception as e:
-                logger.warning("Exception in diarization_processor: %s", e)
-        if has_buffer:
-            try:
-                await self._drain_diarization_buffer()
-            except Exception as e:
-                logger.warning("Exception draining diarization buffer: %s", e)
-        logger.info("Diarization processor task finished.")
-
-    # ------------------------------------------------------------------
-    # Translation consumer (reference :675-708)
-    # ------------------------------------------------------------------
-
-    async def translation_processor(self) -> None:
-        while True:
-            try:
-                item = await get_all_from_queue(self.translation_queue)
-                if item is SENTINEL:
-                    break
-                new_translation = None
-                new_translation_buffer = None
-                if isinstance(item, Silence):
-                    if item.is_starting:
-                        new_translation, new_translation_buffer = (
-                            self.translation.validate_buffer_and_reset()
-                        )
-                    if item.has_ended:
-                        self.translation.insert_silence(item.duration)
-                        continue
-                elif isinstance(item, ChangeSpeaker):
-                    new_translation, new_translation_buffer = (
-                        self.translation.validate_buffer_and_reset()
-                    )
-                else:
-                    self.translation.insert_tokens(item)
-                    new_translation, new_translation_buffer = await self._infer(
-                        self.translation.process
-                    )
-                if new_translation is not None:
-                    async with self.lock:
-                        self.state.new_translation.append(new_translation)
-                        self.state.new_translation_buffer = new_translation_buffer
-            except Exception as e:
-                logger.warning("Exception in translation_processor: %s", e)
-        logger.info("Translation processor task finished.")
-
-    # ------------------------------------------------------------------
-    # Results formatter (reference :710-761)
-    # ------------------------------------------------------------------
-
-    async def results_formatter(self) -> AsyncGenerator[FrontData, None]:
-        while True:
-            try:
-                if self._ffmpeg_error:
-                    yield FrontData(status="error", error=f"FFmpeg error: {self._ffmpeg_error}")
-                    self._ffmpeg_error = None
-                    await asyncio.sleep(1)
-                    continue
-
-                self.tokens_alignment.update()
-                lines, buffer_diarization_text, buffer_translation_text = (
-                    self.tokens_alignment.get_lines(
-                        diarization=self.args.diarization,
-                        translation=bool(self.translation),
-                        current_silence=self.current_silence,
-                        audio_time=self.total_pcm_samples / self.sample_rate,
-                    )
-                )
-                state = await self.get_current_state()
-                buffer_transcription_text = (
-                    state.buffer_transcription.text if state.buffer_transcription else ""
-                )
-
-                response_status = "active_transcription"
-                if not lines and not buffer_transcription_text and not buffer_diarization_text:
-                    response_status = "no_audio_detected"
-
-                response = FrontData(
-                    status=response_status,
-                    lines=lines,
-                    buffer_transcription=buffer_transcription_text,
-                    buffer_diarization=buffer_diarization_text,
-                    buffer_translation=buffer_translation_text,
-                    remaining_time_transcription=state.remaining_time_transcription,
-                    remaining_time_transcription_processing=state.remaining_time_transcription_processing,
-                    remaining_time_transcription_policy=state.remaining_time_transcription_policy,
-                    remaining_time_diarization=(
-                        state.remaining_time_diarization if self.args.diarization else 0
-                    ),
-                )
-                if response != self.last_response_content:
-                    self.metrics.n_responses_sent += 1
-                    yield response
-                    self.last_response_content = response
-
-                if self.is_stopping and self._processing_tasks_done():
-                    logger.info("Results formatter: all processors done; terminating.")
-                    return
-                await asyncio.sleep(0.05)
-            except Exception:
-                logger.warning(
-                    "Exception in results_formatter: %s", traceback.format_exc()
-                )
-                await asyncio.sleep(0.5)
-
-    # ------------------------------------------------------------------
-    # Task lifecycle (reference :763-860)
-    # ------------------------------------------------------------------
-
-    async def create_tasks(self) -> AsyncGenerator[FrontData, None]:
-        self.all_tasks_for_cleanup = []
-        watchdog_targets: List[asyncio.Task] = []
-
-        if not self.is_pcm_input:
-            success = await self.ffmpeg_manager.start()
-            if not success:
-
-                async def error_generator():
-                    yield FrontData(
-                        status="error",
-                        error="FFmpeg failed to start. Please check that FFmpeg is installed.",
-                    )
-
-                return error_generator()
-            self.ffmpeg_reader_task = asyncio.create_task(self.ffmpeg_stdout_reader())
-            self.all_tasks_for_cleanup.append(self.ffmpeg_reader_task)
-            watchdog_targets.append(self.ffmpeg_reader_task)
-
-        if self.transcription:
-            self.transcription_task = asyncio.create_task(self.transcription_processor())
-            self.all_tasks_for_cleanup.append(self.transcription_task)
-            watchdog_targets.append(self.transcription_task)
-        if self.diarization:
-            self.diarization_task = asyncio.create_task(self.diarization_processor())
-            self.all_tasks_for_cleanup.append(self.diarization_task)
-            watchdog_targets.append(self.diarization_task)
-        if self.translation:
-            self.translation_task = asyncio.create_task(self.translation_processor())
-            self.all_tasks_for_cleanup.append(self.translation_task)
-            watchdog_targets.append(self.translation_task)
-
-        self.watchdog_task = asyncio.create_task(self.watchdog(watchdog_targets))
-        self.all_tasks_for_cleanup.append(self.watchdog_task)
-        return self.results_formatter()
-
-    async def watchdog(self, tasks_to_monitor: List[asyncio.Task]) -> None:
-        remaining = [t for t in tasks_to_monitor if t]
-        while True:
-            try:
-                if not remaining:
-                    return
-                await asyncio.sleep(10)
-                for task in list(remaining):
-                    if task.done():
-                        exc = task.exception()
-                        name = task.get_name()
-                        if exc:
-                            logger.error("%s unexpectedly died: %s", name, exc)
-                        remaining.remove(task)
-            except asyncio.CancelledError:
-                break
-            except Exception as e:
-                logger.error("Error in watchdog task: %s", e, exc_info=True)
-
-    async def cleanup(self) -> None:
-        logger.info("Starting AudioProcessor cleanup.")
-        self.is_stopping = True
-        for task in self.all_tasks_for_cleanup:
-            if task and not task.done():
-                task.cancel()
-        created = [t for t in self.all_tasks_for_cleanup if t]
-        if created:
-            await asyncio.gather(*created, return_exceptions=True)
-        if not self.is_pcm_input and self.ffmpeg_manager:
-            try:
-                await self.ffmpeg_manager.stop()
-            except Exception as e:
-                logger.warning("Error stopping FFmpeg manager: %s", e)
-        if self.diarization:
-            self.diarization.close()
-        if self.transcription and hasattr(self.transcription, "close"):
-            self.transcription.close()
-        if self.vac is not None and hasattr(self.vac, "close"):
-            self.vac.close()
-        self.metrics.total_audio_duration_s = self.total_pcm_samples / self.sample_rate
-        self.metrics.log_summary()
-        logger.info("AudioProcessor cleanup complete.")
-
-    def _processing_tasks_done(self) -> bool:
-        tasks = [
-            self.transcription_task,
-            self.diarization_task,
-            self.translation_task,
-            self.ffmpeg_reader_task,
-        ]
-        return all(t.done() for t in tasks if t)
-
-    # ------------------------------------------------------------------
-    # Input (reference :862-982)
+    # Input path
     # ------------------------------------------------------------------
 
     async def process_audio(self, message: Optional[bytes]) -> None:
         if not self.beg_loop:
             self.beg_loop = time()
             self.metrics.session_start = self.beg_loop
-            self.current_silence = Silence(start=0.0, is_starting=True)
+            self.silence_gate.open_initial()
             self.tokens_alignment.beg_loop = self.beg_loop
 
         if not message:
             logger.info("Empty audio message received; stopping.")
             self.is_stopping = True
             if self.is_pcm_input:
-                if self.pcm_buffer:
-                    await self._flush_remaining_pcm()
+                await self.ingest.flush()
                 await self._signal_input_complete()
             elif self.ffmpeg_manager:
                 await self.ffmpeg_manager.close_stdin()
@@ -872,12 +943,9 @@ class AudioProcessor:
 
         self.metrics.n_chunks_received += 1
         if self.is_pcm_input:
-            self.pcm_buffer.extend(message)
-            await self.handle_pcm_data()
-        else:
-            if not self.ffmpeg_manager:
-                logger.error("FFmpeg manager not initialized for non-PCM input.")
-                return
+            self.ingest.feed(message)
+            await self.ingest.pump()
+        elif self.ffmpeg_manager:
             ok = await self.ffmpeg_manager.write_data(message)
             if not ok:
                 state = await self.ffmpeg_manager.get_state()
@@ -885,76 +953,209 @@ class AudioProcessor:
                     logger.error("FFmpeg is in FAILED state, cannot process audio")
                 else:
                     logger.warning("Failed to write audio data to FFmpeg")
+        else:
+            logger.error("FFmpeg manager not initialized for non-PCM input.")
 
-    async def handle_pcm_data(self) -> None:
-        # Without VAC there is no detector to end the opening silence.
-        if not self.args.vac and self.current_silence:
-            await self._end_silence()
+    async def _read_ffmpeg_stdout(self) -> None:
+        """Pull decoded PCM out of ffmpeg at the pace audio arrives."""
+        beg = time()
+        while True:
+            try:
+                state = await self.ffmpeg_manager.get_state()
+                if state in (FFmpegState.FAILED, FFmpegState.STOPPED):
+                    if state == FFmpegState.FAILED:
+                        logger.error("FFmpeg is in FAILED state, cannot read data")
+                    break
+                if state != FFmpegState.RUNNING:
+                    await asyncio.sleep(0.1)
+                    continue
+                now = time()
+                want = max(int(32000 * max(0.0, now - beg)), 4096)
+                beg = now
+                chunk = await self.ffmpeg_manager.read_data(want)
+                if chunk is None:
+                    await asyncio.sleep(0.05)
+                    continue
+                if chunk == b"":
+                    logger.info("FFmpeg stdout reached EOF.")
+                    break
+                self.ingest.feed(chunk)
+                await self.ingest.pump()
+            except asyncio.CancelledError:
+                return
+            except Exception as e:
+                logger.warning("Exception reading ffmpeg stdout: %s", e)
+                await asyncio.sleep(0.2)
 
-        if len(self.pcm_buffer) < self.bytes_per_sec:
+        await self.ingest.flush()
+        if self.ffmpeg_manager:
+            await self.ffmpeg_manager.stop()
+        await self._signal_input_complete()
+
+    async def _signal_input_complete(self) -> None:
+        """Sentinel cascade: transcription first (it re-signals the rest when
+        it drains), else straight to the other modalities."""
+        if self.transcription_queue:
+            await self.transcription_queue.put(SENTINEL)
             return
-        if len(self.pcm_buffer) > self.max_bytes_per_sec:
-            logger.warning(
-                "Audio buffer too large: %.2fs; consider a smaller model.",
-                len(self.pcm_buffer) / self.bytes_per_sec,
+        for q in (self.diarization_queue, self.translation_queue):
+            if q:
+                await q.put(SENTINEL)
+
+    # ------------------------------------------------------------------
+    # Task lifecycle
+    # ------------------------------------------------------------------
+
+    def _spawn_workers(self) -> None:
+        self._worker_tasks = []
+        if self.transcription:
+            worker = TranscribeWorker(
+                self.transcription_queue, self.transcription, self.store,
+                self._infer, self.metrics, self._alarm, self._router, self.sep,
+            )
+            worker._translation_backend = self.translation
+            self._transcribe_worker = worker
+            self._worker_tasks.append(
+                asyncio.create_task(self._run_then_cascade(worker), name=worker.name)
+            )
+        if self.diarization:
+            w = DiarizeWorker(self.diarization_queue, self.diarization, self.store)
+            self._worker_tasks.append(asyncio.create_task(w.run(), name=w.name))
+        if self.translation:
+            w = TranslateWorker(
+                self.translation_queue, self.translation, self.store, self._infer
+            )
+            self._worker_tasks.append(asyncio.create_task(w.run(), name=w.name))
+
+    async def _run_then_cascade(self, worker: TranscribeWorker) -> None:
+        await worker.run()
+        if self.is_stopping:
+            for q in (self.diarization_queue, self.translation_queue):
+                if q:
+                    await q.put(SENTINEL)
+
+    async def create_tasks(self) -> AsyncGenerator[FrontData, None]:
+        self._tasks = []
+        if not self.is_pcm_input:
+            if not await self.ffmpeg_manager.start():
+
+                async def error_only():
+                    yield FrontData(
+                        status="error",
+                        error="FFmpeg failed to start. Please check that FFmpeg is installed.",
+                    )
+
+                return error_only()
+            self._tasks.append(
+                asyncio.create_task(self._read_ffmpeg_stdout(), name="ffmpeg_reader")
             )
 
-        chunk_size = min(len(self.pcm_buffer), self.max_bytes_per_sec)
-        aligned = (chunk_size // self.bytes_per_sample) * self.bytes_per_sample
-        if aligned == 0:
-            return
-        pcm_array = self.convert_pcm_to_float(self.pcm_buffer[:aligned])
-        self.pcm_buffer = self.pcm_buffer[aligned:]
+        self._spawn_workers()
+        self._tasks.extend(self._worker_tasks)
+        self._tasks.append(asyncio.create_task(self._watch_tasks(list(self._tasks))))
+        return self._render_loop()
 
-        num_samples = len(pcm_array)
-        chunk_sample_start = self.total_pcm_samples
-        chunk_sample_end = chunk_sample_start + num_samples
+    async def _watch_tasks(self, watched: List[asyncio.Task]) -> None:
+        """Log any worker that dies with an exception (failure detection)."""
+        pending = [t for t in watched if t]
+        while pending:
+            try:
+                await asyncio.sleep(10)
+                for t in list(pending):
+                    if t.done():
+                        pending.remove(t)
+                        exc = t.exception()
+                        if exc:
+                            logger.error("%s unexpectedly died: %s", t.get_name(), exc)
+            except asyncio.CancelledError:
+                return
+            except Exception as e:
+                logger.error("Error in watchdog task: %s", e, exc_info=True)
 
-        vad_events = []
-        if self.args.vac and self.vac:
-            if self._vac_async:
-                vad_events = await self.vac(pcm_array) or []
-            else:
-                vad_events = self.vac(pcm_array) or []
+    def _pipeline_drained(self) -> bool:
+        return all(t.done() for t in self._tasks[:-1])  # all but the watchdog
 
-        # Segment the chunk around VAD boundaries (sample-precise; clamped to
-        # the chunk so active+silence durations sum exactly to stream time).
-        last_offset = 0
-        for event in vad_events:
-            if "start" in event and self.current_silence:
-                start_eff = max(chunk_sample_start, min(chunk_sample_end, int(event["start"])))
-                await self._end_silence(at_sample=start_eff)
-                last_offset = start_eff - chunk_sample_start
-            if "end" in event and not self.current_silence:
-                end_eff = max(chunk_sample_start, min(chunk_sample_end, int(event["end"])))
-                end_offset = end_eff - chunk_sample_start
-                if end_offset > last_offset:
-                    await self._enqueue_active_audio(pcm_array[last_offset:end_offset])
-                await self._begin_silence(at_sample=end_eff)
-                last_offset = end_offset
+    async def cleanup(self) -> None:
+        logger.info("Starting AudioProcessor cleanup.")
+        self.is_stopping = True
+        for t in self._tasks:
+            if not t.done():
+                t.cancel()
+        if self._tasks:
+            await asyncio.gather(*self._tasks, return_exceptions=True)
+        if self.ffmpeg_manager:
+            try:
+                await self.ffmpeg_manager.stop()
+            except Exception as e:
+                logger.warning("Error stopping FFmpeg manager: %s", e)
+        if self.diarization:
+            self.diarization.close()
+        if self.transcription and hasattr(self.transcription, "close"):
+            self.transcription.close()
+        if self.ingest.vad is not None and hasattr(self.ingest.vad, "close"):
+            self.ingest.vad.close()
+        self.metrics.total_audio_duration_s = self.ingest.seconds
+        self.metrics.log_summary()
+        logger.info("AudioProcessor cleanup complete.")
 
-        if not self.current_silence and last_offset < num_samples:
-            await self._enqueue_active_audio(pcm_array[last_offset:])
+    # ------------------------------------------------------------------
+    # Output side: FrontData rendering
+    # ------------------------------------------------------------------
 
-        self.total_pcm_samples = chunk_sample_end
-
-        if not self.args.transcription and not self.args.diarization:
-            await asyncio.sleep(0.1)
-
-    async def _flush_remaining_pcm(self) -> None:
-        if not self.pcm_buffer:
-            return
-        aligned = (len(self.pcm_buffer) // self.bytes_per_sample) * self.bytes_per_sample
-        if aligned == 0:
-            return
-        pcm_array = self.convert_pcm_to_float(self.pcm_buffer[:aligned])
-        self.pcm_buffer = self.pcm_buffer[aligned:]
-        if self.current_silence:
-            await self._end_silence(at_sample=self.total_pcm_samples)
-        self.total_pcm_samples += len(pcm_array)
-        await self._enqueue_active_audio(pcm_array)
-        logger.info(
-            "Flushed remaining PCM buffer: %d samples (%.2fs)",
-            len(pcm_array),
-            len(pcm_array) / self.sample_rate,
+    def _compose_frontdata(self, state: State, lines, diar_buf: str, trans_buf: str) -> FrontData:
+        buffer_text = (
+            state.buffer_transcription.text if state.buffer_transcription else ""
         )
+        empty = not lines and not buffer_text and not diar_buf
+        return FrontData(
+            status="no_audio_detected" if empty else "active_transcription",
+            lines=lines,
+            buffer_transcription=buffer_text,
+            buffer_diarization=diar_buf,
+            buffer_translation=trans_buf,
+            remaining_time_transcription=state.remaining_time_transcription,
+            remaining_time_transcription_processing=state.remaining_time_transcription_processing,
+            remaining_time_transcription_policy=state.remaining_time_transcription_policy,
+            remaining_time_diarization=(
+                state.remaining_time_diarization if self.args.diarization else 0
+            ),
+        )
+
+    async def _render_loop(self) -> AsyncGenerator[FrontData, None]:
+        """50 ms cadence: drain staging buffers → align → emit on change."""
+        while True:
+            try:
+                if self._ffmpeg_error:
+                    yield FrontData(status="error", error=f"FFmpeg error: {self._ffmpeg_error}")
+                    self._ffmpeg_error = None
+                    await asyncio.sleep(1)
+                    continue
+
+                self.tokens_alignment.update()
+                lines, diar_buf, trans_buf = self.tokens_alignment.get_lines(
+                    diarization=self.args.diarization,
+                    translation=bool(self.translation),
+                    current_silence=self.silence_gate.current,
+                    audio_time=self.ingest.seconds,
+                )
+                state = await self.store.snapshot(
+                    audio_seconds=self.ingest.seconds,
+                    beg_loop=self.beg_loop,
+                    transcription_enabled=getattr(self.args, "transcription", True),
+                )
+                response = self._compose_frontdata(state, lines, diar_buf, trans_buf)
+                if response != self.last_response_content:
+                    self.metrics.n_responses_sent += 1
+                    yield response
+                    self.last_response_content = response
+
+                if self.is_stopping and self._pipeline_drained():
+                    logger.info("Results formatter: all processors done; terminating.")
+                    return
+                await asyncio.sleep(0.05)
+            except Exception:
+                logger.warning("Exception in results_formatter: %s", traceback.format_exc())
+                await asyncio.sleep(0.5)
+
+    # kept under its reference name for integrators
+    results_formatter = _render_loop
