@@ -1,14 +1,23 @@
 """Driver benchmark: concurrent real-time streaming capacity of one chip.
 
-Measures the AlignAtt streaming tick (30 s-window encode + prefill + 8
-gated decode steps — exactly the per-second work of one live session) packed
-over B lanes in one device program, and reports the max number of concurrent
-real-time streams the chip sustains (tick time for B lanes ≤ 1 s of audio).
+Measures the AlignAtt streaming tick packed over B lanes, for the models
+that matter (whisper base / large-v3-turbo / large-v3), in the production
+configuration: **incremental encoding** (per-lane cached encoder frames;
+each tick re-encodes only the window tail — alignatt_tick_inc) with a full
+re-anchor amortized once per eviction block, 8 gated decode steps per tick
+(a realistic token rate), audio resident in HBM (AudioPool).
 
-Baseline: the reference has no multi-stream numbers; its best comparable
-figure is single-session compute-aware RTF 0.097 for faster-whisper
-SimulStreaming base on an H100 (BASELINE.md) ⇒ ~10.3 perfectly time-sliced
-real-time sessions. vs_baseline = streams / 10.3.
+Capacity model: each live session needs one tick per TICK_SECONDS of audio;
+the scheduler packs lanes into groups of B and rotates groups within the
+second (engine/scheduler.py lane-group rotation), so sustainable streams =
+max over B of B / amortized_tick_time(B), with per-tick latency bounding
+word-emission latency.
+
+Headline metric (BASELINE.json north-star): concurrent real-time streams
+per chip at **large-v3** (target ≥64). vs_baseline divides by the
+reference's best large-model streaming figure: faster-whisper SimulStreaming
+large-v3-turbo compute-aware RTF 0.144 on H100 (BASELINE.md) = 6.94
+perfectly time-sliced real-time sessions.
 
 Weights are random (no network in the bench environment); compute cost is
 weight-independent because the decode step count is pinned (gates disabled).
@@ -27,129 +36,175 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-
-MODEL = "base"
-TICK_SECONDS = 1.0      # audio consumed per tick per lane
-DECODE_STEPS = 8        # pinned decode work per tick (~ realistic token rate)
+TICK_SECONDS = 1.0       # audio consumed per tick per lane
+DECODE_STEPS = 8         # pinned decode work per tick (~ realistic token rate)
 PREFIX_BUCKET = 64
+TAIL_FRAMES = 384        # incremental tail (7.7 s of left context)
+ANCHOR_EVERY = 7.5       # ticks between full re-anchors (evict block = 7.5 s)
 EOT = 50257
 TS_BEGIN = 50364
 NO_SPEECH = 50362
 SPACE = 220
 
+# (model, lane-group widths to sweep, is_headline)
+SWEEP = [
+    ("base", (64, 96, 128), False),
+    ("large-v3-turbo", (16, 32, 64), False),
+    ("large-v3", (8, 16, 24), True),
+]
 
-def build_tick(dims, params):
+
+def _suppress(dims):
+    s = np.zeros(dims.n_vocab, np.float32)
+    s[TS_BEGIN:] = -np.inf
+    return jnp.asarray(s)
+
+
+def _align(dims, name):
     from whisperlivekit_tpu.models.whisper.dims import default_alignment_heads
-    from whisperlivekit_tpu.streaming.alignatt import alignatt_tick
 
-    pairs = default_alignment_heads(dims, MODEL)
-    align_layers = jnp.asarray(np.asarray(pairs, np.int32)[:, 0])
-    align_heads = jnp.asarray(np.asarray(pairs, np.int32)[:, 1])
-    suppress = np.zeros(dims.n_vocab, np.float32)
-    suppress[TS_BEGIN:] = -np.inf
-    suppress_mask = jnp.asarray(suppress)
-
-    def tick(audio, prefix, prefix_len, content_frames, last_attend):
-        B = audio.shape[0]
-        return alignatt_tick(
-            params,
-            audio,
-            prefix,
-            prefix_len,
-            jnp.zeros((B,), jnp.int32),          # sot_index
-            content_frames,
-            last_attend,
-            jnp.zeros((B,), bool),               # is_last
-            jnp.full((B,), 10**6, jnp.int32),    # max_new: cap disabled
-            suppress_mask,
-            align_layers,
-            align_heads,
-            jnp.int32(-(10**9)),                 # frame_threshold: gate never fires
-            jnp.int32(10**9),                    # rewind_threshold: never rewinds
-            jnp.float32(2.0),                    # nonspeech_prob: never stops
-            jnp.ones((B,), bool),
-            jnp.zeros((dims.n_audio_state,), jnp.float32),
-            jnp.float32(0.0),
-            dims,
-            PREFIX_BUCKET,
-            DECODE_STEPS,
-            EOT,
-            TS_BEGIN,
-            NO_SPEECH,
-            SPACE,
-        )
-
-    return tick
+    pairs = np.asarray(default_alignment_heads(dims, name), np.int32).reshape(-1, 2)
+    return jnp.asarray(pairs[:, 0]), jnp.asarray(pairs[:, 1])
 
 
-def make_inputs(dims, B, rng):
-    audio = jnp.asarray((0.1 * rng.standard_normal((B, 16000 * 30))).astype(np.float32))
+def _core_args(dims, B, rng, suppress_mask, align_layers, align_heads):
     prefix = np.full((B, PREFIX_BUCKET), EOT, np.int32)
-    prefix[:, 0] = 50258  # sot
-    prefix[:, 1] = 50259  # <|en|>
-    prefix[:, 2] = 50359  # transcribe
-    prefix[:, 3] = 50363  # notimestamps
+    prefix[:, 0:4] = [50258, 50259, 50359, 50363]
     prefix[:, 4:20] = rng.integers(100, 40000, (B, 16))
     return (
-        audio,
         jnp.asarray(prefix),
         jnp.full((B,), 20, jnp.int32),
-        jnp.full((B,), 1500, jnp.int32),
-        jnp.full((B,), -200, jnp.int32),
+        jnp.zeros((B,), jnp.int32),              # sot_index
+        jnp.full((B,), 1500, jnp.int32),         # content_frames
+        jnp.full((B,), -200, jnp.int32),         # last_attend
+        jnp.zeros((B,), bool),                   # is_last
+        jnp.full((B,), 10**6, jnp.int32),        # max_new: cap disabled
+        suppress_mask,
+        align_layers,
+        align_heads,
+        jnp.int32(-(10**9)),                     # frame_threshold: gate never fires
+        jnp.int32(10**9),                        # rewind_threshold: never rewinds
+        jnp.float32(2.0),                        # nonspeech_prob: never stops
+        jnp.ones((B,), bool),                    # active
+        jnp.zeros((dims.n_audio_state,), jnp.float32),
+        jnp.float32(0.0),
     )
 
 
-def time_tick(tick, inputs, iters=4) -> float:
-    # Sync via host readback of the per-lane outputs: block_until_ready is
+def _statics(dims):
+    return dict(
+        dims=dims, p_max=PREFIX_BUCKET, max_steps=DECODE_STEPS, eot=EOT,
+        ts_begin=TS_BEGIN, no_speech_tok=NO_SPEECH, space_tok=SPACE,
+    )
+
+
+def time_call(fn, iters=4) -> float:
+    # Sync via host readback of a small per-lane output: block_until_ready is
     # unreliable on the axon platform, and the real pipeline reads tokens
     # back every tick anyway, so this is the honest per-tick latency.
-    out = tick(*inputs)
-    np.asarray(out[1])  # warmup + compile
+    np.asarray(fn()[1])  # warmup + compile
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = tick(*inputs)
+        out = fn()
         np.asarray(out[1])
     return (time.perf_counter() - t0) / iters
 
 
-def main() -> None:
-    sys.path.insert(0, ".")
+def bench_model(name: str, widths, results: dict) -> float:
     from whisperlivekit_tpu.models.whisper import model as wm
     from whisperlivekit_tpu.models.whisper.dims import MODEL_DIMS
+    from whisperlivekit_tpu.streaming import alignatt as A
 
-    dims = MODEL_DIMS[MODEL]
+    dims = MODEL_DIMS[name]
     params = wm.init_params(dims, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
-    tick = build_tick(dims, params)
     rng = np.random.default_rng(0)
+    suppress_mask = _suppress(dims)
+    align_layers, align_heads = _align(dims, name)
+    statics = _statics(dims)
 
-    # Sustainable streams = max over B of B / tick_time: each session needs
-    # one tick per TICK_SECONDS of audio and the scheduler rotates lane
-    # groups, so throughput (not single-batch latency) bounds capacity.
-    best_streams = 0.0
-    best_B = 0
-    for B in (1, 4, 8, 16, 32, 64, 96, 128, 192, 256):
+    best_streams, best_B, best_lat = 0.0, 0, 0.0
+    for B in widths:
         try:
-            inputs = make_inputs(dims, B, rng)
-            dt = time_tick(tick, inputs)
-        except Exception as e:  # OOM or compile failure at this width
-            print(f"B={B}: failed ({type(e).__name__})", file=sys.stderr)
-            break
-        streams = B * TICK_SECONDS / dt if dt > 0 else 0.0
-        print(f"B={B}: tick={dt*1e3:.1f} ms  throughput={streams:.1f} streams", file=sys.stderr)
-        if streams > best_streams:
-            best_streams, best_B = streams, B
-        if dt > 2 * TICK_SECONDS or (B >= 64 and streams < 0.8 * best_streams):
-            break  # past the throughput peak
+            audio_pool = jnp.asarray(
+                (rng.integers(-3000, 3000, (B, 16000 * 30))).astype(np.int16)
+            )
+            enc_pool = jnp.zeros(
+                (B + 1, dims.n_audio_ctx, dims.n_audio_state), jnp.bfloat16
+            )
+            core = _core_args(dims, B, rng, suppress_mask, align_layers, align_heads)
+            lanes = jnp.arange(B, dtype=jnp.int32)
+            enc_lanes = lanes + 1
+            tail_start = jnp.full((B,), 1500 - TAIL_FRAMES, jnp.int32)
+            win = jnp.full((B,), 1500, jnp.int32)
+            write_start = jnp.full((B,), 1500 - 50 - 32, jnp.int32)  # 1 s + margin
 
-    baseline_streams = 1.0 / 0.097  # reference H100 single-session RTF, base
-    print(f"peak at B={best_B} (per-tick latency = word-emission latency bound)", file=sys.stderr)
+            state = {"enc_pool": enc_pool}
+
+            def inc_tick():
+                out = A.alignatt_tick_inc(
+                    params, audio_pool, state["enc_pool"], lanes, enc_lanes,
+                    tail_start, win, write_start, *core,
+                    **statics, tail_frames=TAIL_FRAMES,
+                )
+                state["enc_pool"] = out[-1]
+                return out
+
+            def anchor_tick():
+                out = A.alignatt_tick_anchor(
+                    params, audio_pool, state["enc_pool"], enc_lanes, *core, **statics
+                )
+                state["enc_pool"] = out[-1]
+                return out
+
+            t_inc = time_call(inc_tick)
+            t_anchor = time_call(anchor_tick, iters=2)
+            t_amort = ((ANCHOR_EVERY - 1) * t_inc + t_anchor) / ANCHOR_EVERY
+            streams = B * TICK_SECONDS / t_amort if t_amort > 0 else 0.0
+            results[f"{name}_B{B}"] = {
+                "inc_ms": round(t_inc * 1e3, 1),
+                "anchor_ms": round(t_anchor * 1e3, 1),
+                "amortized_ms": round(t_amort * 1e3, 1),
+                "streams": round(streams, 1),
+            }
+            print(
+                f"{name} B={B}: inc={t_inc*1e3:.1f} ms anchor={t_anchor*1e3:.1f} ms "
+                f"amortized={t_amort*1e3:.1f} ms -> {streams:.1f} streams",
+                file=sys.stderr, flush=True,
+            )
+            if streams > best_streams:
+                best_streams, best_B, best_lat = streams, B, t_amort
+            del audio_pool, enc_pool, core, state
+        except Exception as e:
+            print(f"{name} B={B}: failed ({type(e).__name__})", file=sys.stderr, flush=True)
+            results[f"{name}_B{B}"] = f"FAILED {type(e).__name__}"
+            break
+    print(
+        f"{name}: peak {best_streams:.1f} streams at B={best_B} "
+        f"(p50 tick latency {best_lat*1e3:.0f} ms)",
+        file=sys.stderr, flush=True,
+    )
+    results[f"{name}_peak_streams"] = round(best_streams, 1)
+    return best_streams
+
+
+def main() -> None:
+    sys.path.insert(0, ".")
+    results: dict = {}
+    headline = 0.0
+    for name, widths, is_headline in SWEEP:
+        streams = bench_model(name, widths, results)
+        if is_headline:
+            headline = streams
+
+    baseline_streams = 1.0 / 0.144  # reference fw SS large-v3-turbo aware RTF, H100
+    print(json.dumps({"sub_metrics": results}), file=sys.stderr, flush=True)
     print(
         json.dumps(
             {
-                "metric": f"concurrent_realtime_streams_per_chip_whisper_{MODEL}",
-                "value": round(best_streams, 1),
+                "metric": "concurrent_realtime_streams_per_chip_whisper_large_v3",
+                "value": round(headline, 1),
                 "unit": "streams",
-                "vs_baseline": round(best_streams / baseline_streams, 2),
+                "vs_baseline": round(headline / baseline_streams, 2),
             }
         )
     )

@@ -45,7 +45,7 @@ _GROUPS = {
     "TPU engine": {
         "compute_dtype", "param_dtype", "decode_block_tokens",
         "max_decode_tokens", "max_batch_sessions", "scheduler", "mesh_shape",
-        "donate_kv_cache", "profile_dir",
+        "donate_kv_cache", "profile_dir", "incremental_encode",
     },
 }
 

@@ -107,6 +107,7 @@ class WLKConfig:
     max_decode_tokens: int = 224             # hard cap per streaming inference
     max_batch_sessions: int = 64             # scheduler packing width per chip
     scheduler: bool = True                   # multi-session batch scheduler on/off
+    incremental_encode: bool = True          # cache encoder frames; re-encode tails only
     mesh_shape: Optional[str] = None         # e.g. "data:4,model:2"; None = 1 chip
     donate_kv_cache: bool = True
     profile_dir: Optional[str] = None        # jax.profiler trace output

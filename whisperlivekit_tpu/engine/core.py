@@ -194,6 +194,9 @@ class TranscriptionEngine:
                         self.asr.engine,
                         max_lanes=config.max_batch_sessions,
                         profile_dir=config.profile_dir,
+                        incremental_encode=getattr(
+                            config, "incremental_encode", True
+                        ),
                     )
             logger.info(
                 "Loaded whisper %s (%d-layer enc / %d-layer dec, %s) policy=%s",

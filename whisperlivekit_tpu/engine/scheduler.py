@@ -25,6 +25,7 @@ from ..streaming.alignatt import (
     AlignAttEngine,
     AlignAttSession,
     AudioPool,
+    EncPool,
     TickInputs,
     run_tick_batch,
 )
@@ -42,6 +43,7 @@ class BatchScheduler:
         inline: Optional[bool] = None,
         profile_dir: Optional[str] = None,
         profile_ticks: int = 5,
+        incremental_encode: bool = True,
     ):
         self.engine = engine
         self.max_lanes = max_lanes
@@ -60,6 +62,13 @@ class BatchScheduler:
         self._profiling = False
         # device-resident audio windows: sessions ship only new samples
         self.pool = AudioPool(capacity=4 * max_lanes)
+        # per-lane encoder-frame caches: each tick re-encodes only the window
+        # tail (the ~30x full re-encode redundancy is the reference's main
+        # throughput wall at large models; see alignatt_tick_inc)
+        self.enc_pool: Optional[EncPool] = None
+        if incremental_encode:
+            dtype = engine.params["decoder"]["tok_emb"].dtype
+            self.enc_pool = EncPool(2 * max_lanes + 1, engine.dims, dtype=dtype)
 
     # ---- public API ------------------------------------------------------------
 
@@ -120,10 +129,14 @@ class BatchScheduler:
             self._maybe_profile()
             try:
                 if self.inline:
-                    outs = run_tick_batch(self.engine, tis, self.engine.tokenizer, pool=self.pool)
+                    outs = run_tick_batch(
+                        self.engine, tis, self.engine.tokenizer,
+                        pool=self.pool, enc_pool=self.enc_pool,
+                    )
                 else:
                     outs = await asyncio.to_thread(
-                        run_tick_batch, self.engine, tis, self.engine.tokenizer, self.pool
+                        run_tick_batch, self.engine, tis, self.engine.tokenizer,
+                        self.pool, self.enc_pool,
                     )
                 self.n_ticks += 1
                 self.n_lanes_served += len(batch)

@@ -224,15 +224,33 @@ def _conv1d(x, p, stride: int):
     return (y + p["b"][None, :, None].astype(jnp.float32)).astype(x.dtype)
 
 
-def encode(params: Params, mel: jnp.ndarray, dims: ModelDimensions) -> jnp.ndarray:
-    """mel [B, n_mels, 3000] -> encoder features [B, 1500, D]."""
+def encode(
+    params: Params,
+    mel: jnp.ndarray,
+    dims: ModelDimensions,
+    pos_start: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """mel [B, n_mels, 2*F] -> encoder features [B, F, D].
+
+    ``pos_start`` ([B] int32) offsets the sinusoidal position table per lane —
+    the incremental-encoding path encodes only a window *tail* whose frames
+    must carry their absolute positions within the 30 s window (frames are
+    cached across ticks; see streaming/alignatt.py EncPool).
+    """
     p = params["encoder"]
     x = mel.astype(p["conv1"]["w"].dtype)
     x = jax.nn.gelu(_conv1d(x, p["conv1"], 1), approximate=False)
     x = jax.nn.gelu(_conv1d(x, p["conv2"], 2), approximate=False)
     x = x.transpose(0, 2, 1)  # [B, T, D]
     pos = jnp.asarray(sinusoids(dims.n_audio_ctx, dims.n_audio_state))
-    x = (x + pos[: x.shape[1]].astype(x.dtype)).astype(x.dtype)
+    if pos_start is None:
+        x = (x + pos[: x.shape[1]].astype(x.dtype)).astype(x.dtype)
+    else:
+        idx = jnp.minimum(
+            pos_start[:, None] + jnp.arange(x.shape[1], dtype=jnp.int32)[None, :],
+            dims.n_audio_ctx - 1,
+        )
+        x = (x + pos[idx].astype(x.dtype)).astype(x.dtype)
 
     n_head = dims.n_audio_head
 

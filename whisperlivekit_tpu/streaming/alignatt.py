@@ -71,6 +71,12 @@ class AlignAttConfig:
     never_fire: bool = False
     cif_ckpt_path: Optional[str] = None
     max_steps: int = 64  # static per-tick decode budget (device loop bound)
+    # incremental encoding (EncPool): net-new TPU throughput mode — frames
+    # are encoded once and cached; each tick re-encodes only the window tail
+    enc_tail_frames: int = 384   # tail length (enc frames; 384 = 7.7 s)
+    enc_rewrite_margin: int = 32 # trailing frames re-encoded every tick so a
+                                 # frame freezes only after 0.64 s of right ctx
+    evict_block_s: float = 0.0   # 0 = audio_max_len/4 when enc caching is on
 
 
 class TokenBufferCtx:
@@ -170,16 +176,27 @@ def dry_penalty(logits: jnp.ndarray, tokens: jnp.ndarray, cur_len: jnp.ndarray, 
 # ---------------------------------------------------------------------------
 
 
-@partial(
-    jax.jit,
-    static_argnames=(
-        "dims", "p_max", "max_steps", "eot", "ts_begin", "no_speech_tok",
-        "space_tok", "use_cif",
-    ),
-)
-def alignatt_tick(
+def _tick_front(params, audio: jnp.ndarray, dims: ModelDimensions) -> jnp.ndarray:
+    """Full-window front-end: int16/f32 audio [B, N_SAMPLES] -> enc [B, T, D].
+
+    In-graph so one tick is one host->device transfer and zero extra
+    dispatches (the mel is never materialized on host). Audio ships as int16
+    (PCM's native width) to halve the transfer; conversion is device-side.
+    """
+    if audio.dtype == jnp.int16:
+        audio = audio.astype(jnp.float32) / 32768.0
+    mel = pad_or_trim(
+        log_mel_spectrogram(
+            audio, n_mels=dims.n_mels, precision=jax.lax.Precision.DEFAULT
+        ),
+        2 * dims.n_audio_ctx,
+    )
+    return wm.encode(params, mel, dims)
+
+
+def _tick_core(
     params,
-    audio: jnp.ndarray,          # [B, N_SAMPLES] zero-padded 16 kHz, int16 or f32
+    enc: jnp.ndarray,            # [B, T, D] encoder features
     prefix: jnp.ndarray,         # [B, p_max] right-padded with eot
     prefix_len: jnp.ndarray,     # [B]
     sot_index: jnp.ndarray,      # [B]
@@ -205,26 +222,11 @@ def alignatt_tick(
     space_tok: int,
     use_cif: bool = False,
 ):
-    """One streaming tick for B lanes. Returns
-    (new_tokens [B,max_steps], n_keep [B], frames [B,max_steps], reason [B],
-    no_speech_prob [B], last_attend_out [B])."""
-    B = audio.shape[0]
+    """The decode phase of one streaming tick (everything after encoding)."""
+    B = enc.shape[0]
     align = wm.AlignSpec(layers=align_layers, heads=align_heads)
     K = align_layers.shape[0]
     T = dims.n_audio_ctx
-
-    # Front-end in-graph: one host->device transfer and zero extra dispatches
-    # per tick (the mel is never materialized on host). Audio ships as int16
-    # (PCM's native width) to halve the transfer; conversion is device-side.
-    if audio.dtype == jnp.int16:
-        audio = audio.astype(jnp.float32) / 32768.0
-    mel = pad_or_trim(
-        log_mel_spectrogram(
-            audio, n_mels=dims.n_mels, precision=jax.lax.Precision.DEFAULT
-        ),
-        2 * T,
-    )
-    enc = wm.encode(params, mel, dims)
 
     # CIF end-of-word fire detection (reference eow_detection.py:28-77):
     # integrate sigmoid alphas over the content frames; fire when the first
@@ -427,6 +429,157 @@ def alignatt_tick(
     )
 
 
+_TICK_STATICS = (
+    "dims", "p_max", "max_steps", "eot", "ts_begin", "no_speech_tok",
+    "space_tok", "use_cif",
+)
+
+@partial(jax.jit, static_argnames=_TICK_STATICS)
+def alignatt_tick(
+    params, audio,
+    prefix, prefix_len, sot_index, content_frames, last_attend, is_last,
+    max_new, suppress_mask, align_layers, align_heads, frame_threshold,
+    rewind_threshold, nonspeech_prob, active_in, cif_w, cif_b,
+    dims, p_max, max_steps, eot, ts_begin, no_speech_tok, space_tok,
+    use_cif=False,
+):
+    """One streaming tick for B lanes from raw audio [B, N_SAMPLES].
+
+    Returns (new_tokens [B,max_steps], n_keep [B], frames [B,max_steps],
+    reason [B], no_speech_prob [B], last_attend_out [B], fire [B])."""
+    enc = _tick_front(params, audio, dims)
+    return _tick_core(
+        params, enc, prefix, prefix_len, sot_index, content_frames,
+        last_attend, is_last, max_new, suppress_mask, align_layers,
+        align_heads, frame_threshold, rewind_threshold, nonspeech_prob,
+        active_in, cif_w, cif_b, dims, p_max, max_steps, eot, ts_begin,
+        no_speech_tok, space_tok, use_cif,
+    )
+
+
+@partial(jax.jit, static_argnames=_TICK_STATICS, donate_argnames=("enc_pool",))
+def alignatt_tick_anchor(
+    params, audio, enc_pool, enc_lanes,
+    prefix, prefix_len, sot_index, content_frames, last_attend, is_last,
+    max_new, suppress_mask, align_layers, align_heads, frame_threshold,
+    rewind_threshold, nonspeech_prob, active_in, cif_w, cif_b,
+    dims, p_max, max_steps, eot, ts_begin, no_speech_tok, space_tok,
+    use_cif=False,
+):
+    """Full-window tick that also re-anchors the per-lane encoder cache:
+    the freshly computed enc rows are written into ``enc_pool`` at
+    ``enc_lanes`` so subsequent incremental ticks extend them.
+
+    Returns (*tick outputs, enc_pool')."""
+    enc = _tick_front(params, audio, dims)
+    enc_pool = enc_pool.at[enc_lanes].set(enc.astype(enc_pool.dtype))
+    outs = _tick_core(
+        params, enc, prefix, prefix_len, sot_index, content_frames,
+        last_attend, is_last, max_new, suppress_mask, align_layers,
+        align_heads, frame_threshold, rewind_threshold, nonspeech_prob,
+        active_in, cif_w, cif_b, dims, p_max, max_steps, eot, ts_begin,
+        no_speech_tok, space_tok, use_cif,
+    )
+    return outs + (enc_pool,)
+
+
+@partial(
+    jax.jit,
+    static_argnames=_TICK_STATICS + ("tail_frames",),
+    donate_argnames=("enc_pool",),
+)
+def alignatt_tick_inc(
+    params,
+    audio_pool,            # [W, N_SAMPLES] int16 device-resident windows
+    enc_pool,              # [W_enc, T, D] cached encoder frames (donated)
+    audio_lanes,           # [B] rows in audio_pool
+    enc_lanes,             # [B] rows in enc_pool
+    tail_start,            # [B] first encoder frame of the re-encoded tail
+    win_frames,            # [B] current window length in encoder frames
+    write_start,           # [B] first frame (re)written into the cache
+    prefix, prefix_len, sot_index, content_frames, last_attend, is_last,
+    max_new, suppress_mask, align_layers, align_heads, frame_threshold,
+    rewind_threshold, nonspeech_prob, active_in, cif_w, cif_b,
+    dims, p_max, max_steps, eot, ts_begin, no_speech_tok, space_tok,
+    use_cif=False,
+    tail_frames: int = 384,
+):
+    """Incremental tick: re-encode only the window tail and extend the cache.
+
+    The audio tail is sliced device-side from the audio pool (the host ships
+    only new PCM via AudioPool.update), encoded with absolute positional
+    offsets (frames keep the positions of the current anchor), and frames
+    [write_start, win_frames) replace the cached rows; the decode then runs
+    over the full cached window. Frames outside [0, win) keep their
+    anchor-time values (silence-pad encodings), matching full-window padding
+    semantics.
+
+    vs the reference: simul_whisper re-encodes the whole ≤30 s window every
+    tick (reference simul_whisper/simul_whisper.py:299-352) — at large-v3
+    that is ~30x redundant encoder compute per second of audio and caps one
+    H100/TPU at ~16 streams; this path makes per-tick encoder cost O(tail).
+    """
+    B = audio_lanes.shape[0]
+    T = dims.n_audio_ctx
+
+    # --- slice per-lane audio tails: (tail_frames+1) enc frames of samples ---
+    S_tail = (tail_frames + 1) * 320
+    rows = audio_pool[audio_lanes]  # [B, N_SAMPLES] int16
+    samp_idx = tail_start[:, None] * 320 + jnp.arange(S_tail, dtype=jnp.int32)[None, :]
+    tail = jnp.take_along_axis(rows, jnp.minimum(samp_idx, rows.shape[1] - 1), axis=1)
+    tail = jnp.where(samp_idx < rows.shape[1], tail, 0)
+    tail = tail.astype(jnp.float32) / 32768.0
+
+    # --- tail mel + encode at absolute positions ---
+    mel = log_mel_spectrogram(
+        tail, n_mels=dims.n_mels, precision=jax.lax.Precision.DEFAULT
+    )
+    mel = pad_or_trim(mel, 2 * tail_frames)
+    enc_tail = wm.encode(params, mel, dims, pos_start=tail_start)  # [B, F_tail, D]
+
+    # --- merge into cached rows: t in [write_start, win) <- tail[t - tail_start] ---
+    cached = enc_pool[enc_lanes]  # [B, T, D]
+    t_idx = jnp.arange(T, dtype=jnp.int32)[None, :]
+    src = jnp.clip(t_idx - tail_start[:, None], 0, tail_frames - 1)
+    fresh = jnp.take_along_axis(
+        enc_tail.astype(enc_pool.dtype), src[:, :, None], axis=1
+    )
+    in_write = (t_idx >= write_start[:, None]) & (t_idx < win_frames[:, None])
+    enc_rows = jnp.where(in_write[:, :, None], fresh, cached)
+    enc_pool = enc_pool.at[enc_lanes].set(enc_rows)
+
+    outs = _tick_core(
+        params, enc_rows.astype(enc_tail.dtype), prefix, prefix_len, sot_index,
+        content_frames, last_attend, is_last, max_new, suppress_mask,
+        align_layers, align_heads, frame_threshold, rewind_threshold,
+        nonspeech_prob, active_in, cif_w, cif_b, dims, p_max, max_steps, eot,
+        ts_begin, no_speech_tok, space_tok, use_cif,
+    )
+    return outs + (enc_pool,)
+
+
+class EncPool:
+    """Per-lane encoder-frame caches resident in device HBM.
+
+    [capacity, n_audio_ctx, n_audio_state] in the params dtype; rows are
+    written by the anchor/incremental tick programs (donated in/out). Row 0
+    is a scratch target for batch-padding lanes and never allocated."""
+
+    SCRATCH = 0
+
+    def __init__(self, capacity: int, dims: ModelDimensions, dtype=jnp.bfloat16):
+        self.capacity = capacity
+        self.pool = jnp.zeros((capacity, dims.n_audio_ctx, dims.n_audio_state), dtype)
+        self._free = list(range(1, capacity))
+
+    def acquire(self) -> Optional[int]:
+        return self._free.pop() if self._free else None
+
+    def release(self, lane: int) -> None:
+        if lane != self.SCRATCH:
+            self._free.append(lane)
+
+
 # ---------------------------------------------------------------------------
 # Device-resident audio pool
 # ---------------------------------------------------------------------------
@@ -529,6 +682,12 @@ class TickInputs:
     max_new: int
     pool_lane: Optional[int] = None
     pool_update: Optional[Tuple[int, int, np.ndarray]] = None  # (shift, start, new_i16)
+    # incremental-encoding plan (None = legacy full re-encode)
+    enc_mode: Optional[str] = None   # "anchor" | "inc"
+    enc_lane: Optional[int] = None
+    tail_start: int = 0
+    write_start: int = 0
+    enc_commit: Optional[Tuple] = None  # ((gen, evicted), win) applied in finish_tick
 
 
 @dataclass
@@ -544,102 +703,83 @@ class TickOutputs:
     fire: bool = True         # CIF end-of-word boundary at chunk end
 
 
-def run_tick_batch(
-    engine: "AlignAttEngine",
-    ticks: List[TickInputs],
-    tokenizer,
-    pool: Optional[AudioPool] = None,
-) -> List[TickOutputs]:
-    """Pack N lanes into one device program and scatter the outputs.
-
-    Lane count is padded to a power of two and the prefix width to the
-    common bucket, so the set of compiled program shapes stays small.
-    With an AudioPool, audio stays in HBM: lanes are updated with only
-    their new samples, then gathered device-side.
-    """
-    n = len(ticks)
-    B = 1 << (n - 1).bit_length()  # next power of two
-    cfg = engine.cfg
-    dims = engine.dims
-    p_max = max(engine.bucket_for(len(t.prefix_ids)) for t in ticks)
-
-    # Pool rows must stay in sync with the sessions' _pool_synced bookkeeping
-    # (committed in prepare_tick), so apply updates for every pool-backed lane
-    # even when a mixed batch forces the direct-transfer path below.
-    if pool is not None:
-        pool.update(
-            [
-                (t.pool_lane, *t.pool_update)
-                for t in ticks
-                if t.pool_lane is not None and t.pool_update is not None
-            ]
-        )
-    pool_mode = pool is not None and all(t.pool_lane is not None for t in ticks)
-    if pool_mode:
-        lanes = [t.pool_lane for t in ticks] + [0] * (B - n)
-        audio_dev = pool.gather(lanes)
-    else:
-        audio = np.zeros((B, N_SAMPLES), np.int16)
-    prefix = np.full((B, p_max), tokenizer.eot, np.int32)
-    prefix_len = np.ones(B, np.int32)
-    sot_index = np.zeros(B, np.int32)
-    content_frames = np.zeros(B, np.int32)
-    last_attend = np.zeros(B, np.int32)
-    is_last = np.zeros(B, bool)
-    max_new = np.ones(B, np.int32)
-    active = np.zeros(B, bool)
-
+def _collect_lane_arrays(engine, ticks: List[TickInputs], tokenizer, B: int, p_max: int):
+    """Pad N lanes' host inputs to batch B (power of two) as numpy arrays."""
+    arr = dict(
+        prefix=np.full((B, p_max), tokenizer.eot, np.int32),
+        prefix_len=np.ones(B, np.int32),
+        sot_index=np.zeros(B, np.int32),
+        content_frames=np.zeros(B, np.int32),
+        last_attend=np.zeros(B, np.int32),
+        is_last=np.zeros(B, bool),
+        max_new=np.ones(B, np.int32),
+        active=np.zeros(B, bool),
+    )
     for i, t in enumerate(ticks):
-        if not pool_mode:
-            a = t.audio
-            if a.dtype != np.int16:
-                a = (np.clip(a, -1.0, 1.0 - 1 / 32768) * 32768.0).astype(np.int16)
-            audio[i, : len(a)] = a
-        prefix[i, : len(t.prefix_ids)] = t.prefix_ids
-        prefix_len[i] = len(t.prefix_ids)
-        sot_index[i] = t.sot_index
-        content_frames[i] = t.content_frames
-        last_attend[i] = t.last_attend
-        is_last[i] = t.is_last
-        max_new[i] = t.max_new
-        active[i] = True
+        arr["prefix"][i, : len(t.prefix_ids)] = t.prefix_ids
+        arr["prefix_len"][i] = len(t.prefix_ids)
+        arr["sot_index"][i] = t.sot_index
+        arr["content_frames"][i] = t.content_frames
+        arr["last_attend"][i] = t.last_attend
+        arr["is_last"][i] = t.is_last
+        arr["max_new"][i] = t.max_new
+        arr["active"][i] = True
+    return arr
 
-    new_tokens, n_keep, frames, reason, no_speech_p, last_attend_out, fire = alignatt_tick(
-        engine.params,
-        audio_dev if pool_mode else jnp.asarray(audio),
-        jnp.asarray(prefix),
-        jnp.asarray(prefix_len),
-        jnp.asarray(sot_index),
-        jnp.asarray(content_frames),
-        jnp.asarray(last_attend),
-        jnp.asarray(is_last),
-        jnp.asarray(max_new),
+
+def _core_device_args(engine, arr, tokenizer, p_max: int):
+    """(positional core args, static kwargs) shared by the tick programs."""
+    cfg = engine.cfg
+    args = (
+        jnp.asarray(arr["prefix"]),
+        jnp.asarray(arr["prefix_len"]),
+        jnp.asarray(arr["sot_index"]),
+        jnp.asarray(arr["content_frames"]),
+        jnp.asarray(arr["last_attend"]),
+        jnp.asarray(arr["is_last"]),
+        jnp.asarray(arr["max_new"]),
         engine.suppress_mask,
         engine.align_layers,
         engine.align_heads,
         jnp.int32(cfg.frame_threshold),
         jnp.int32(cfg.rewind_threshold),
         jnp.float32(cfg.nonspeech_prob),
-        jnp.asarray(active),
+        jnp.asarray(arr["active"]),
         engine.cif_w,
         engine.cif_b,
-        dims,
-        p_max,
-        cfg.max_steps,
-        tokenizer.eot,
-        tokenizer.timestamp_begin,
-        tokenizer.no_speech,
-        tokenizer.encode(" ")[0],
+    )
+    statics = dict(
+        dims=engine.dims,
+        p_max=p_max,
+        max_steps=cfg.max_steps,
+        eot=tokenizer.eot,
+        ts_begin=tokenizer.timestamp_begin,
+        no_speech_tok=tokenizer.no_speech,
+        space_tok=tokenizer.encode(" ")[0],
         use_cif=engine.use_cif,
     )
-    new_tokens = np.asarray(new_tokens)
-    n_keep = np.asarray(n_keep)
-    frames = np.asarray(frames)
-    reason = np.asarray(reason)
-    no_speech_p = np.asarray(no_speech_p)
-    last_attend_out = np.asarray(last_attend_out)
-    fire = np.asarray(fire)
+    return args, statics
 
+
+def _gather_full_audio(ticks: List[TickInputs], pool: Optional[AudioPool], B: int):
+    """Full 30 s windows for legacy/anchor ticks: HBM gather when every lane
+    is pool-backed, otherwise one direct int16 transfer."""
+    if pool is not None and all(t.pool_lane is not None for t in ticks):
+        lanes = [t.pool_lane for t in ticks] + [0] * (B - len(ticks))
+        return pool.gather(lanes)
+    audio = np.zeros((B, N_SAMPLES), np.int16)
+    for i, t in enumerate(ticks):
+        a = t.audio
+        if a.dtype != np.int16:
+            a = (np.clip(a, -1.0, 1.0 - 1 / 32768) * 32768.0).astype(np.int16)
+        audio[i, : len(a)] = a
+    return jnp.asarray(audio)
+
+
+def _scatter_outputs(raw, n: int, max_steps: int) -> List[TickOutputs]:
+    new_tokens, n_keep, frames, reason, no_speech_p, last_attend_out, fire = (
+        np.asarray(x) for x in raw[:7]
+    )
     return [
         TickOutputs(
             new_tokens=[int(x) for x in new_tokens[i]],
@@ -652,6 +792,112 @@ def run_tick_batch(
         )
         for i in range(n)
     ]
+
+
+def run_tick_batch(
+    engine: "AlignAttEngine",
+    ticks: List[TickInputs],
+    tokenizer,
+    pool: Optional[AudioPool] = None,
+    enc_pool: Optional[EncPool] = None,
+) -> List[TickOutputs]:
+    """Pack N lanes into device programs and scatter the outputs.
+
+    Lane count is padded to a power of two and the prefix width to the
+    common bucket, so the set of compiled program shapes stays small.
+    With an AudioPool, audio stays in HBM: lanes are updated with only
+    their new samples, then gathered device-side.
+
+    With an EncPool, ticks carry an encoding plan and the batch is
+    partitioned by mode — "anchor" lanes run the full-window program (and
+    refresh their cached rows), "inc" lanes run the tail-encode program,
+    plan-less lanes run the legacy program. Outputs return in input order.
+    """
+    # Audio-pool rows must stay in sync with the sessions' _pool_synced
+    # bookkeeping (committed in prepare_tick), so apply updates for every
+    # pool-backed lane before anything gathers.
+    if pool is not None:
+        pool.update(
+            [
+                (t.pool_lane, *t.pool_update)
+                for t in ticks
+                if t.pool_lane is not None and t.pool_update is not None
+            ]
+        )
+
+    groups: dict = {}
+    for i, t in enumerate(ticks):
+        mode = t.enc_mode if enc_pool is not None else None
+        groups.setdefault(mode, []).append(i)
+
+    outs: List[Optional[TickOutputs]] = [None] * len(ticks)
+    for mode, idxs in groups.items():
+        group = [ticks[i] for i in idxs]
+        if mode == "inc":
+            res = _run_group_inc(engine, group, tokenizer, pool, enc_pool)
+        elif mode == "anchor":
+            res = _run_group_anchor(engine, group, tokenizer, pool, enc_pool)
+        else:
+            res = _run_group_legacy(engine, group, tokenizer, pool)
+        for i, o in zip(idxs, res):
+            outs[i] = o
+    return outs  # type: ignore[return-value]
+
+
+def _run_group_legacy(engine, ticks, tokenizer, pool) -> List[TickOutputs]:
+    n = len(ticks)
+    B = 1 << (n - 1).bit_length()
+    p_max = max(engine.bucket_for(len(t.prefix_ids)) for t in ticks)
+    arr = _collect_lane_arrays(engine, ticks, tokenizer, B, p_max)
+    audio = _gather_full_audio(ticks, pool, B)
+    args, statics = _core_device_args(engine, arr, tokenizer, p_max)
+    raw = alignatt_tick(engine.params, audio, *args, **statics)
+    return _scatter_outputs(raw, n, engine.cfg.max_steps)
+
+
+def _run_group_anchor(engine, ticks, tokenizer, pool, enc_pool) -> List[TickOutputs]:
+    n = len(ticks)
+    B = 1 << (n - 1).bit_length()
+    p_max = max(engine.bucket_for(len(t.prefix_ids)) for t in ticks)
+    arr = _collect_lane_arrays(engine, ticks, tokenizer, B, p_max)
+    audio = _gather_full_audio(ticks, pool, B)
+    # padded lanes write their (garbage) rows to the scratch row
+    enc_lanes = [t.enc_lane for t in ticks] + [EncPool.SCRATCH] * (B - n)
+    args, statics = _core_device_args(engine, arr, tokenizer, p_max)
+    raw = alignatt_tick_anchor(
+        engine.params, audio, enc_pool.pool,
+        jnp.asarray(np.asarray(enc_lanes, np.int32)), *args, **statics,
+    )
+    enc_pool.pool = raw[-1]
+    return _scatter_outputs(raw[:-1], n, engine.cfg.max_steps)
+
+
+def _run_group_inc(engine, ticks, tokenizer, pool, enc_pool) -> List[TickOutputs]:
+    n = len(ticks)
+    B = 1 << (n - 1).bit_length()
+    p_max = max(engine.bucket_for(len(t.prefix_ids)) for t in ticks)
+    arr = _collect_lane_arrays(engine, ticks, tokenizer, B, p_max)
+    audio_lanes = np.zeros(B, np.int32)
+    enc_lanes = np.full(B, EncPool.SCRATCH, np.int32)
+    tail_start = np.zeros(B, np.int32)
+    win_frames = np.zeros(B, np.int32)   # 0 for padded lanes: nothing written
+    write_start = np.zeros(B, np.int32)
+    for i, t in enumerate(ticks):
+        audio_lanes[i] = t.pool_lane
+        enc_lanes[i] = t.enc_lane
+        tail_start[i] = t.tail_start
+        win_frames[i] = t.content_frames
+        write_start[i] = t.write_start
+    args, statics = _core_device_args(engine, arr, tokenizer, p_max)
+    raw = alignatt_tick_inc(
+        engine.params, pool.pool, enc_pool.pool,
+        jnp.asarray(audio_lanes), jnp.asarray(enc_lanes),
+        jnp.asarray(tail_start), jnp.asarray(win_frames),
+        jnp.asarray(write_start),
+        *args, **statics, tail_frames=engine.cfg.enc_tail_frames,
+    )
+    enc_pool.pool = raw[-1]
+    return _scatter_outputs(raw[:-1], n, engine.cfg.max_steps)
 
 
 # ---------------------------------------------------------------------------
@@ -746,6 +992,11 @@ class AlignAttSession:
         self.pool: Optional[AudioPool] = None  # set by the scheduler
         self.pool_lane: Optional[int] = None
         self._pool_synced: Optional[Tuple[int, int, int]] = None  # (gen, start, len)
+        # incremental-encoding cache (set by the scheduler when enabled)
+        self.enc_pool: Optional[EncPool] = None
+        self.enc_lane: Optional[int] = None
+        self._enc_synced_frames = 0
+        self._enc_key: Optional[Tuple[int, int]] = None  # (audio_gen, evicted)
         self._reset_segment_state()
         max_ctx = self.cfg.max_context_tokens
         self.max_context_tokens = (
@@ -788,12 +1039,21 @@ class AlignAttSession:
 
     def insert_audio(self, segment: Optional[np.ndarray] = None) -> float:
         """Append audio; evict oldest past audio_max_len, scrolling committed
-        tokens into the text context (reference simul_whisper.py:219-237)."""
+        tokens into the text context (reference simul_whisper.py:219-237).
+
+        With an encoder cache, eviction happens in blocks instead of
+        continuously: every eviction shifts the window coordinates and
+        invalidates the cached frames (one full re-anchor), so batching
+        evictions amortizes re-anchors to ~1 per block instead of 1/tick."""
         if segment is not None:
             self.segments.append(np.asarray(segment, np.float32))
         removed = 0.0
         total = self.segments_len()
-        while len(self.segments) > 1 and total > self.cfg.audio_max_len:
+        limit = self.cfg.audio_max_len
+        if self.enc_pool is not None and total > limit:
+            block = self.cfg.evict_block_s or self.cfg.audio_max_len / 4
+            limit = max(self.cfg.audio_max_len - block, 1.0)
+        while len(self.segments) > 1 and total > limit:
             removed = self.segments[0].shape[0] / SAMPLE_RATE
             total -= removed
             self.last_attend_frame -= int(TOKENS_PER_SECOND * removed)
@@ -866,7 +1126,37 @@ class AlignAttSession:
             max_new=max(50, int(audio_s * 15 * 1.5)),
         )
         self._attach_pool_update(ti, audio)
+        self._attach_enc_plan(ti)
         return ti
+
+    def _attach_enc_plan(self, ti: TickInputs) -> None:
+        """Choose how this tick encodes: "inc" extends the cached frames with
+        a tail re-encode; "anchor" recomputes the full window (first tick,
+        after eviction/reset, or when the lane fell too far behind)."""
+        if self.enc_pool is None or ti.pool_lane is None:
+            return  # tail slicing needs the device-resident audio window
+        if self.cfg.decoder_type == "beam" and self.cfg.beam_size > 1:
+            return
+        if self.enc_lane is None:
+            self.enc_lane = self.enc_pool.acquire()
+            if self.enc_lane is None:
+                return  # cache exhausted: legacy full re-encode
+        win = ti.content_frames
+        key = (self._audio_gen, self.evicted_samples)
+        tail = self.cfg.enc_tail_frames
+        write_start = max(0, self._enc_synced_frames - self.cfg.enc_rewrite_margin)
+        if (
+            self._enc_key == key
+            and 0 < self._enc_synced_frames <= win
+            and win - write_start <= tail
+        ):
+            ti.enc_mode = "inc"
+            ti.write_start = write_start
+            ti.tail_start = max(0, win - tail)
+        else:
+            ti.enc_mode = "anchor"
+        ti.enc_lane = self.enc_lane
+        ti.enc_commit = (key, win)
 
     def _attach_pool_update(self, ti: TickInputs, audio: np.ndarray) -> None:
         """Compute the incremental device-window update for pool mode."""
@@ -908,6 +1198,11 @@ class AlignAttSession:
             self.pool.release(self.pool_lane)
             self.pool_lane = None
             self._pool_synced = None
+        if self.enc_pool is not None and self.enc_lane is not None:
+            self.enc_pool.release(self.enc_lane)
+            self.enc_lane = None
+            self._enc_synced_frames = 0
+            self._enc_key = None
 
     def infer(self, is_last: bool = False) -> List[ASRToken]:
         ti = self.prepare_tick(is_last)
@@ -918,11 +1213,16 @@ class AlignAttSession:
 
             outs = run_tick_batch_beam(self.engine, [ti], self.tokenizer, self.cfg.beam_size)
         else:
-            outs = run_tick_batch(self.engine, [ti], self.tokenizer, pool=self.pool)
+            outs = run_tick_batch(
+                self.engine, [ti], self.tokenizer, pool=self.pool, enc_pool=self.enc_pool
+            )
         return self.finish_tick(ti, outs[0])
 
     def finish_tick(self, ti: "TickInputs", out: "TickOutputs") -> List[ASRToken]:
         """Host phase 2: gate results → words, update session state."""
+        if ti.enc_commit is not None and ti.enc_mode is not None:
+            # the cache rows were written on device; record what they cover
+            self._enc_key, self._enc_synced_frames = ti.enc_commit
         cfg = self.cfg
         n = out.n_keep
         reason_code = out.reason

@@ -41,6 +41,8 @@ class SimulStreamingOnlineProcessor:
         self.scheduler = scheduler  # BatchScheduler | None: batched device ticks
         if scheduler is not None and getattr(scheduler, "pool", None) is not None:
             self.model.pool = scheduler.pool
+        if scheduler is not None and getattr(scheduler, "enc_pool", None) is not None:
+            self.model.enc_pool = scheduler.enc_pool
         beam_mode = engine.cfg.decoder_type == "beam" and engine.cfg.beam_size > 1
         if scheduler is not None and not beam_mode:
             # async variants are discovered by AudioProcessor._infer via the
