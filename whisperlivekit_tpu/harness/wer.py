@@ -1,9 +1,15 @@
-"""Text normalization + WER (reference metrics.py:12-82 parity, pure python)."""
+"""Text normalization + WER (reference metrics.py:12-82 parity, pure python).
+
+``compute_wer(..., english=True)`` applies the OpenAI EnglishTextNormalizer
+(harness/normalizers.py) so numbers are comparable with published Whisper
+WERs — the reference benchmark methodology (round-1 VERDICT item 5/6).
+"""
 
 from __future__ import annotations
 
 import re
 import unicodedata
+from functools import lru_cache
 from typing import Dict
 
 
@@ -14,10 +20,18 @@ def normalize_text(text: str) -> str:
     return re.sub(r"\s+", " ", text).strip()
 
 
-def compute_wer(reference: str, hypothesis: str) -> Dict:
+@lru_cache(maxsize=1)
+def _english_normalizer():
+    from .normalizers import EnglishTextNormalizer
+
+    return EnglishTextNormalizer()
+
+
+def compute_wer(reference: str, hypothesis: str, english: bool = False) -> Dict:
     """Word-level Levenshtein WER with sub/ins/del breakdown."""
-    ref = normalize_text(reference).split()
-    hyp = normalize_text(hypothesis).split()
+    norm = _english_normalizer() if english else normalize_text
+    ref = norm(reference).split()
+    hyp = norm(hypothesis).split()
     n, m = len(ref), len(hyp)
     if n == 0:
         return {

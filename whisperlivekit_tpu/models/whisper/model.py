@@ -298,8 +298,14 @@ class CrossKV(NamedTuple):
     v: jnp.ndarray
 
 
-def init_cache(dims: ModelDimensions, batch: int, dtype=jnp.float32) -> KVCache:
-    shape = (dims.n_text_layer, batch, dims.n_text_ctx, dims.n_text_head, dims.head_dim)
+def init_cache(
+    dims: ModelDimensions, batch: int, dtype=jnp.float32, width: Optional[int] = None
+) -> KVCache:
+    """``width`` bounds the cache timeline; the streaming tick needs only
+    prefix_bucket + max_steps slots, not the full n_text_ctx — at large-v3
+    x B=16 that is ~2.5 GB of HBM back."""
+    w = min(width or dims.n_text_ctx, dims.n_text_ctx)
+    shape = (dims.n_text_layer, batch, w, dims.n_text_head, dims.head_dim)
     return KVCache(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
 
 
@@ -350,15 +356,16 @@ def decode(
     dec = params["decoder"]
     B, S = tokens.shape
     n_head = dims.n_text_head
-    T_ctx = dims.n_text_ctx
+    W = cache.k.shape[2]  # cache timeline width (<= n_text_ctx)
 
-    positions = pos[:, None] + jnp.arange(S, dtype=jnp.int32)[None, :]  # [B,S]
-    positions = jnp.minimum(positions, T_ctx - 1)
-    x = dec["tok_emb"][tokens] + dec["pos_emb"][positions]
+    raw_pos = pos[:, None] + jnp.arange(S, dtype=jnp.int32)[None, :]  # [B,S]
+    emb_pos = jnp.minimum(raw_pos, dims.n_text_ctx - 1)
+    positions = jnp.minimum(raw_pos, W - 1)  # cache write slots
+    x = dec["tok_emb"][tokens] + dec["pos_emb"][emb_pos]
 
     # Self-attention mask over the cache timeline: key j visible to query s
     # iff j <= pos + s (strict causality with per-lane offsets).
-    key_idx = jnp.arange(T_ctx, dtype=jnp.int32)[None, None, :]  # [1,1,T]
+    key_idx = jnp.arange(W, dtype=jnp.int32)[None, None, :]  # [1,1,W]
     self_mask = jnp.where(key_idx <= positions[:, :, None], 0.0, -jnp.inf).astype(jnp.float32)
 
     cross_mask = None

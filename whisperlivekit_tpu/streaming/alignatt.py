@@ -252,7 +252,10 @@ def _tick_core(
     else:
         fire = jnp.ones((B,), bool)
     xkv = wm.cross_kv(params, enc, dims)
-    cache = wm.init_cache(dims, B, dtype=params["decoder"]["tok_emb"].dtype)
+    cache = wm.init_cache(
+        dims, B, dtype=params["decoder"]["tok_emb"].dtype,
+        width=p_max + max_steps + 1,
+    )
 
     prefill_logits, aprobs, cache = wm.decode(
         params, prefix, jnp.zeros((B,), jnp.int32), xkv, cache, dims, align=align

@@ -91,7 +91,10 @@ def alignatt_tick_beam(
     xkv = wm.CrossKV(
         k=jnp.repeat(xkv_b.k, beam, axis=1), v=jnp.repeat(xkv_b.v, beam, axis=1)
     )
-    cache = wm.init_cache(dims, BM, dtype=params["decoder"]["tok_emb"].dtype)
+    cache = wm.init_cache(
+        dims, BM, dtype=params["decoder"]["tok_emb"].dtype,
+        width=p_max + max_steps + 1,
+    )
 
     prefix_bm = jnp.repeat(prefix, beam, axis=0)
     plen_bm = jnp.repeat(prefix_len, beam, axis=0)
