@@ -1,0 +1,196 @@
+"""Qwen3-ASR causal backend: append-only KV semantics + streaming policy.
+
+Pins the properties the reference's causal mode promises (reference
+README.md:210-230): blocks are encoded exactly once, block features are
+independent of FUTURE blocks (causality), per-tick compute is constant in
+stream length (bounded window + resets), and commits are monotonic.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from whisperlivekit_tpu.models import llama as lm
+from whisperlivekit_tpu.models import qwen3_asr as qm
+from whisperlivekit_tpu.streaming.qwen3_causal import (
+    Qwen3CausalASR,
+    Qwen3CausalProcessor,
+    StablePrefixCommitter,
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    dims = qm.DEV_TINY
+    params = qm.init_params(dims, jax.random.PRNGKey(0))
+    return dims, params
+
+
+def mel_block(dims, seed):
+    rng = np.random.default_rng(seed)
+    return jnp.asarray(rng.standard_normal((1, dims.n_mels, 2 * dims.block_frames)).astype(np.float32))
+
+
+def test_block_features_are_causal(setup):
+    """Block i's features must not change when later blocks are appended."""
+    dims, params = setup
+    blocks = [mel_block(dims, i) for i in range(4)]
+
+    def run(n):
+        cache = qm.init_tower_cache(dims, 1)
+        feats = []
+        for i in range(n):
+            f, cache = qm.encode_block(
+                params, blocks[i], cache, jnp.asarray([i * dims.block_frames], jnp.int32), dims
+            )
+            feats.append(np.asarray(f))
+        return feats
+
+    short = run(2)
+    full = run(4)
+    np.testing.assert_array_equal(short[0], full[0])
+    np.testing.assert_array_equal(short[1], full[1])
+
+
+def test_block_attends_to_history(setup):
+    """Non-causality in the other direction: later blocks MUST see earlier
+    ones (otherwise it's a chunked encoder, not a causal one)."""
+    dims, params = setup
+    b0a, b0b, b1 = mel_block(dims, 0), mel_block(dims, 7), mel_block(dims, 1)
+
+    def second_feats(first):
+        cache = qm.init_tower_cache(dims, 1)
+        _, cache = qm.encode_block(params, first, cache, jnp.asarray([0], jnp.int32), dims)
+        f, _ = qm.encode_block(
+            params, b1, cache, jnp.asarray([dims.block_frames], jnp.int32), dims
+        )
+        return np.asarray(f)
+
+    assert not np.array_equal(second_feats(b0a), second_feats(b0b))
+
+
+def test_hypothesis_kv_is_disposable(setup):
+    """Decoding a hypothesis then appending audio must give the same state
+    as appending audio without decoding (the hypothesis region is simply
+    overwritten — no cache copies per tick)."""
+    dims, params = setup
+    B = 1
+    prompt = jnp.asarray([[1, 2, 3]], jnp.int32)
+
+    def prime():
+        tc = qm.init_tower_cache(dims, B)
+        xc = lm.init_cache(dims.text, B, 96)
+        _, xc = lm.forward(
+            params["text"], lm.embed_tokens(params["text"], prompt),
+            jnp.zeros((B,), jnp.int32), xc, dims.text,
+        )
+        return tc, xc
+
+    pos0 = jnp.asarray([3], jnp.int32)
+
+    # path A: audio, hypothesis, audio
+    tc, xc = prime()
+    tc, xc, _ = qm.append_audio_block(params, mel_block(dims, 0), tc, xc, jnp.asarray([0], jnp.int32), pos0, dims)
+    toks_a, n_a, xc = qm.decode_hypothesis(
+        params, xc, jnp.asarray([[4]], jnp.int32), pos0 + dims.block_tokens, 0, dims, max_new=8
+    )
+    tc, xc, _ = qm.append_audio_block(
+        params, mel_block(dims, 1), tc, xc,
+        jnp.asarray([dims.block_frames], jnp.int32), pos0 + dims.block_tokens, dims,
+    )
+    toks_a2, n_a2, _ = qm.decode_hypothesis(
+        params, xc, jnp.asarray([[4]], jnp.int32), pos0 + 2 * dims.block_tokens, 0, dims, max_new=8
+    )
+
+    # path B: audio, audio, hypothesis (no intermediate decode)
+    tc, xc = prime()
+    tc, xc, _ = qm.append_audio_block(params, mel_block(dims, 0), tc, xc, jnp.asarray([0], jnp.int32), pos0, dims)
+    tc, xc, _ = qm.append_audio_block(
+        params, mel_block(dims, 1), tc, xc,
+        jnp.asarray([dims.block_frames], jnp.int32), pos0 + dims.block_tokens, dims,
+    )
+    toks_b2, n_b2, _ = qm.decode_hypothesis(
+        params, xc, jnp.asarray([[4]], jnp.int32), pos0 + 2 * dims.block_tokens, 0, dims, max_new=8
+    )
+
+    assert int(n_a2[0]) == int(n_b2[0])
+    np.testing.assert_array_equal(np.asarray(toks_a2), np.asarray(toks_b2))
+
+
+def test_committer_monotonic():
+    c = StablePrefixCommitter(hold_back=1)
+    new, tail = c.step(["a", "b", "c"])
+    assert new == [] and tail == ["a", "b", "c"]  # nothing agreed yet
+    new, tail = c.step(["a", "b", "d"])
+    assert new == ["a", "b"][: len(new)] and c.n_committed <= 2
+    new2, _ = c.step(["a", "b", "d", "e"])
+    # committed words never retract
+    assert c.n_committed >= 2
+    new3, tail3 = c.step(["a", "b", "d", "e", "f"], final=True)
+    assert c.n_committed == 5 and tail3 == []
+
+
+def audio_seconds(n, seed=0):
+    rng = np.random.default_rng(seed)
+    t = np.arange(int(16000 * n)) / 16000
+    return (0.3 * np.sin(2 * np.pi * 200 * t) + 0.05 * rng.standard_normal(t.shape)).astype(np.float32)
+
+
+def test_processor_streams_and_bounds_compute(setup):
+    dims, params = setup
+    holder = Qwen3CausalASR(params, dims, window_s=2.0, max_new=8)
+    proc = Qwen3CausalProcessor(holder)
+
+    committed = []
+    t = 0.0
+    for i in range(8):
+        t += 1.0
+        proc.insert_audio_chunk(audio_seconds(1, seed=i), t)
+        tokens, upto = proc.process_iter()
+        committed.extend(tokens)
+        assert upto <= t + 1e-6
+    tokens, upto = proc.finish()
+    committed.extend(tokens)
+
+    # every block encoded exactly once: 8 s / 0.4 s-blocks = 20 blocks
+    expected_blocks = int(8.0 / (dims.block_samples / 16000))
+    assert proc.n_blocks_encoded == expected_blocks
+    # window bound: segment resets keep the live window under window_s
+    assert proc.blocks_this_segment * dims.block_samples / 16000 <= 2.0 + 0.5
+    # commits are time-monotonic
+    ends = [tok.end for tok in committed]
+    assert ends == sorted(ends)
+
+
+def test_processor_long_silence_resets(setup):
+    dims, params = setup
+    holder = Qwen3CausalASR(params, dims, window_s=4.0, max_new=8)
+    proc = Qwen3CausalProcessor(holder)
+    proc.insert_audio_chunk(audio_seconds(2), 2.0)
+    proc.process_iter()
+    proc.end_silence(7.0, 2.0)  # >= 5 s: full segment reset
+    assert proc.blocks_this_segment == 0
+    proc.insert_audio_chunk(audio_seconds(1, seed=3), 10.0)
+    tokens, _ = proc.process_iter(is_last=True)
+    for tok in tokens:
+        assert tok.start >= 9.0 - 1e-6  # offset past the silence
+
+
+def test_engine_routing_random_weights():
+    from whisperlivekit_tpu.config import WLKConfig
+    from whisperlivekit_tpu.engine.core import TranscriptionEngine, online_factory
+
+    TranscriptionEngine.reset()
+    cfg = WLKConfig(
+        backend="qwen3", backend_policy="causal", model_size="random:dev-tiny",
+        lan="en", vac=False, pcm_input=True, scheduler=False, log_level="ERROR",
+    )
+    engine = TranscriptionEngine(cfg)
+    proc = online_factory(cfg, engine.asr)
+    assert isinstance(proc, Qwen3CausalProcessor)
+    proc.insert_audio_chunk(audio_seconds(1), 1.0)
+    tokens, upto = proc.process_iter(is_last=True)
+    assert upto > 0
+    TranscriptionEngine.reset()

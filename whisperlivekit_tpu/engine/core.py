@@ -169,7 +169,12 @@ class TranscriptionEngine:
         self.translation_model = None
 
         self.scheduler = None
-        if config.transcription and (config.backend or "").startswith("voxtral"):
+        if config.transcription and (config.backend or "").startswith("qwen3"):
+            from ..streaming.qwen3_causal import load_qwen3_causal
+
+            self.asr = load_qwen3_causal(config)
+            logger.info("Loaded Qwen3-ASR causal backend (append-only tower)")
+        elif config.transcription and (config.backend or "").startswith("voxtral"):
             from ..models.voxtral_backend import VoxtralASR, load_voxtral
 
             params, vdims, tok = load_voxtral(config.model_path)
@@ -274,6 +279,10 @@ class TranscriptionEngine:
 
 
 def online_factory(config: WLKConfig, asr, language: Optional[str] = None, scheduler=None):
+    from ..streaming.qwen3_causal import Qwen3CausalASR, Qwen3CausalProcessor
+
+    if isinstance(asr, Qwen3CausalASR):
+        return Qwen3CausalProcessor(asr)
     if isinstance(asr, VoxtralHolder):
         from ..streaming.windowed import WindowedStreamingProcessor
 

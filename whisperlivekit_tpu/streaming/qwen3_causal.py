@@ -1,0 +1,379 @@
+"""Qwen3-ASR causal streaming policy: append-only encode, constant compute/s.
+
+Reference behavior (reference README.md:210-230; the qwen3-asr-causal
+runtime behind qwen3_streaming/_shim.py): every ~2 s audio block is encoded
+exactly once by the block-causal tower; the text decoder keeps one KV over
+``[prompt | audio tokens]``; each update decodes a fresh greedy hypothesis
+whose KV lands after the audio prefix and is overwritten by the next block
+(no cache copies); text commits by a stable-prefix rule with word hold-back;
+the audio window is bounded (~15 s) with segment resets at sentence
+boundaries — so memory and per-second compute are constant in stream length.
+
+Word timestamps are interpolated estimates across the un-committed audio
+span (~1 s precision, like the reference's qwen3/voxtral interpolation).
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import List, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..audio.mel import log_mel_spectrogram
+from ..models import llama as lm
+from ..models import qwen3_asr as qm
+from ..timed import ASRToken, ChangeSpeaker, Transcript
+
+logger = logging.getLogger(__name__)
+
+MIN_DURATION_REAL_SILENCE = 5.0
+
+
+class DebugWordTokenizer:
+    """Deterministic id→word tokenizer for random-weight runs (no egress, no
+    HF tokenizer): id N decodes to "tN". Real checkpoints use AutoTokenizer."""
+
+    eos_id = 0
+
+    def decode(self, ids: List[int]) -> str:
+        return " ".join(f"t{i}" for i in ids)
+
+    def encode(self, text: str) -> List[int]:
+        out = []
+        for w in text.split():
+            if w.startswith("t") and w[1:].isdigit():
+                out.append(int(w[1:]))
+        return out
+
+
+class Qwen3CausalASR:
+    """Engine-level holder: weights + tokenizer + policy knobs (shared)."""
+
+    sep = " "
+
+    def __init__(
+        self,
+        params,
+        dims: qm.Qwen3ASRDims,
+        tokenizer=None,
+        prompt_ids: Optional[List[int]] = None,
+        hyp_start_ids: Optional[List[int]] = None,
+        eos_id: Optional[int] = None,
+        window_s: float = 15.0,
+        hold_back_words: int = 2,
+        max_new: int = 48,
+    ):
+        self.params = params
+        self.dims = dims
+        self.tokenizer = tokenizer or DebugWordTokenizer()
+        self.prompt_ids = list(prompt_ids or [1, 2, 3])
+        self.hyp_start_ids = list(hyp_start_ids or [4])
+        self.eos_id = eos_id if eos_id is not None else getattr(self.tokenizer, "eos_id", 0)
+        self.window_s = window_s
+        self.hold_back_words = hold_back_words
+        self.max_new = max_new
+        # decoder cache sized for prompt + full audio window + hypothesis
+        window_tokens = int(window_s * 50 / dims.downsample)
+        self.text_cache_len = len(self.prompt_ids) + window_tokens + len(self.hyp_start_ids) + max_new + 8
+
+
+def load_qwen3_causal(config) -> "Qwen3CausalASR":
+    """Resolve the causal tower: an HF checkpoint directory (config.json +
+    safetensors, `qfuxa/qwen3-asr-0.6b-streaming` layout) or random weights
+    (``random:<size>`` / no path — CI and zero-egress hosts)."""
+    import json
+    import os
+
+    import jax
+
+    path = config.model_path
+    window_s = float(getattr(config, "audio_max_len", 15.0) or 15.0)
+    window_s = min(window_s, 15.0)
+
+    if path and os.path.isdir(path) and os.path.isfile(os.path.join(path, "config.json")):
+        with open(os.path.join(path, "config.json")) as f:
+            hf_cfg = json.load(f)
+        text = lm.dims_from_hf_config(hf_cfg.get("text_config", hf_cfg))
+        audio_cfg = hf_cfg.get("audio_config", {})
+        dims = qm.Qwen3ASRDims(
+            text=text,
+            n_mels=audio_cfg.get("num_mel_bins", 128),
+            d_audio=audio_cfg.get("d_model", 1024),
+            audio_heads=audio_cfg.get("encoder_attention_heads", 16),
+            audio_layers=audio_cfg.get("encoder_layers", 24),
+            audio_ff=audio_cfg.get("encoder_ffn_dim", 4096),
+        )
+        from pathlib import Path
+
+        from ..models.whisper.load import _read_safetensors_dir
+
+        sd = _read_safetensors_dir(Path(path))
+        params = qm.convert_hf_state_dict(sd, dims)
+        tokenizer = None
+        try:
+            from transformers import AutoTokenizer
+
+            tokenizer = _HFWordTokenizer(AutoTokenizer.from_pretrained(path))
+        except Exception as e:  # tokenizer assets may be absent offline
+            logger.warning("qwen3 tokenizer unavailable (%s); debug tokenizer", e)
+        return Qwen3CausalASR(params, dims, tokenizer=tokenizer, window_s=window_s)
+
+    size = (path or config.model_size or "").replace("random:", "")
+    dims = qm.DEV_TINY if size in ("", "dev-tiny", "random") else qm.Qwen3ASRDims(
+        text=qm.DEV_TINY_TEXT
+    )
+    params = qm.init_params(dims, jax.random.PRNGKey(0))
+    logger.warning("qwen3 causal backend running RANDOM weights (%s)", size or "dev-tiny")
+    return Qwen3CausalASR(params, dims, window_s=window_s)
+
+
+class _HFWordTokenizer:
+    """Thin adapter: HF tokenizer → the decode/encode/eos_id surface."""
+
+    def __init__(self, tok):
+        self._tok = tok
+        self.eos_id = tok.eos_token_id or 0
+
+    def decode(self, ids):
+        return self._tok.decode(ids, skip_special_tokens=True)
+
+    def encode(self, text):
+        return self._tok.encode(text, add_special_tokens=False)
+
+
+class StablePrefixCommitter:
+    """Commit the agreed prefix of successive hypotheses, holding back the
+    frontier words still under revision."""
+
+    def __init__(self, hold_back: int):
+        self.hold_back = hold_back
+        self.prev: List[str] = []
+        self.n_committed = 0
+
+    def reset(self) -> None:
+        self.prev = []
+        self.n_committed = 0
+
+    def step(self, words: List[str], final: bool = False) -> Tuple[List[str], List[str]]:
+        """Returns (newly committed words, uncommitted tail)."""
+        if final:
+            stable = len(words)
+        else:
+            stable = 0
+            for a, b in zip(self.prev, words):
+                if a != b:
+                    break
+                stable += 1
+            stable = min(stable, max(len(words) - self.hold_back, 0))
+        self.prev = list(words)
+        new = words[self.n_committed : stable] if stable > self.n_committed else []
+        if stable > self.n_committed:
+            self.n_committed = stable
+        return new, words[self.n_committed :]
+
+
+class Qwen3CausalProcessor:
+    """Per-session online processor (the standard duck-typed contract)."""
+
+    SAMPLING_RATE = 16000
+
+    def __init__(self, holder: Qwen3CausalASR):
+        self.h = holder
+        self.dims = holder.dims
+        self.speaker = -1
+        self.stream_time = 0.0          # audio-stream clock (insert end times)
+        self.time_base = 0.0            # segment start in stream time
+        self.audio_buffer = np.zeros(0, np.float32)
+        self.committer = StablePrefixCommitter(holder.hold_back_words)
+        self.buffer_tail: List[str] = []
+        self._segment_committed_end = 0.0
+        self.n_blocks_encoded = 0       # cumulative; tests pin encode-once
+        self._prime()
+
+    # ---- cache lifecycle ---------------------------------------------------
+
+    def _prime(self) -> None:
+        h = self.h
+        B = 1
+        self.tower_cache = qm.init_tower_cache(self.dims, B, dtype=self._dtype())
+        self.text_cache = lm.init_cache(
+            self.dims.text, B, h.text_cache_len, dtype=self._dtype()
+        )
+        prompt = jnp.asarray([h.prompt_ids], jnp.int32)
+        _, self.text_cache = lm.forward(
+            h.params["text"],
+            lm.embed_tokens(h.params["text"], prompt),
+            jnp.zeros((B,), jnp.int32),
+            self.text_cache,
+            self.dims.text,
+        )
+        self.frames_filled = 0
+        self.text_pos = len(h.prompt_ids)
+        self.blocks_this_segment = 0
+
+    def _dtype(self):
+        return self.h.params["text"]["tok_emb"].dtype
+
+    def _segment_reset(self) -> None:
+        """Drop the audio window + caches; text continuity lives in the
+        committed transcript (constant memory for unbounded streams)."""
+        self.time_base = self._appended_time()
+        self.committer.reset()
+        self.buffer_tail = []
+        self._prime()
+
+    # ---- contract: audio in ---------------------------------------------------
+
+    def insert_audio_chunk(self, audio: np.ndarray, end_time: float) -> None:
+        self.audio_buffer = np.concatenate([self.audio_buffer, np.asarray(audio, np.float32)])
+        self.stream_time = end_time
+
+    def _appended_time(self) -> float:
+        return self.time_base + self.blocks_this_segment * (
+            self.dims.block_samples / self.SAMPLING_RATE
+        )
+
+    # ---- contract: the tick ----------------------------------------------------
+
+    def process_iter(self, is_last: bool = False) -> Tuple[List[ASRToken], float]:
+        h = self.h
+        appended = False
+        bs = self.dims.block_samples
+
+        while len(self.audio_buffer) >= bs or (is_last and len(self.audio_buffer) > 0):
+            block = self.audio_buffer[:bs]
+            self.audio_buffer = self.audio_buffer[bs:]
+            if len(block) < bs:  # is_last: zero-pad the final partial block
+                block = np.pad(block, (0, bs - len(block)))
+            if (self.frames_filled + self.dims.block_frames > self.dims.max_frames
+                    or self._window_full()):
+                self._flush_segment()
+            self._append_block(block)
+            appended = True
+
+        processed = self._appended_time()
+        if not appended and not is_last:
+            return [], processed
+
+        words = self._decode_words()
+        new_words, tail = self.committer.step(words, final=is_last)
+        self.buffer_tail = tail
+        tokens = self._timestamp(new_words, processed)
+
+        # sentence boundary: the window can drop everything behind it
+        if tokens and any(t.has_punctuation() for t in tokens) and self.blocks_this_segment > 1:
+            self._segment_reset()
+
+        return tokens, processed
+
+    def _window_full(self) -> bool:
+        return (
+            self.blocks_this_segment * self.dims.block_samples / self.SAMPLING_RATE
+            >= self.h.window_s
+        )
+
+    def _flush_segment(self) -> None:
+        """Window overflow between sentences: commit what we have, reset."""
+        words = self._decode_words()
+        new_words, _ = self.committer.step(words, final=True)
+        self._pending_overflow_tokens = self._timestamp(new_words, self._appended_time())
+        self._segment_reset()
+
+    def _append_block(self, block: np.ndarray) -> None:
+        mel = log_mel_spectrogram(jnp.asarray(block), n_mels=self.dims.n_mels)
+        self.tower_cache, self.text_cache, _ = qm.append_audio_block(
+            self.h.params,
+            mel[None],
+            self.tower_cache,
+            self.text_cache,
+            jnp.asarray([self.frames_filled], jnp.int32),
+            jnp.asarray([self.text_pos], jnp.int32),
+            self.dims,
+        )
+        self.frames_filled += self.dims.block_frames
+        self.text_pos += self.dims.block_tokens
+        self.blocks_this_segment += 1
+        self.n_blocks_encoded += 1
+
+    def _decode_words(self) -> List[str]:
+        h = self.h
+        start = jnp.asarray([h.hyp_start_ids], jnp.int32)
+        toks, n, self.text_cache = qm.decode_hypothesis(
+            h.params, self.text_cache, start,
+            jnp.asarray([self.text_pos], jnp.int32),
+            h.eos_id, self.dims, max_new=h.max_new,
+        )
+        ids = [int(x) for x in np.asarray(toks[0])[: int(n[0])]]
+        text = h.tokenizer.decode(ids)
+        return text.split()
+
+    def _timestamp(self, words: List[str], upto: float) -> List[ASRToken]:
+        """Linear interpolation across the span since the last commit —
+        ~1 s estimates, same class of precision as the reference."""
+        out: List[ASRToken] = []
+        if not words:
+            # collect any overflow-flush tokens produced mid-tick
+            out = getattr(self, "_pending_overflow_tokens", [])
+            self._pending_overflow_tokens = []
+            return out
+        span_start = max(self._segment_committed_end, self.time_base)
+        span_end = max(upto, span_start + 0.02 * len(words))
+        step = (span_end - span_start) / len(words)
+        for i, w in enumerate(words):
+            out.append(
+                ASRToken(
+                    start=round(span_start + i * step, 2),
+                    end=round(span_start + (i + 1) * step, 2),
+                    text=" " + w,
+                    speaker=self.speaker,
+                )
+            )
+        self._segment_committed_end = span_end
+        pending = getattr(self, "_pending_overflow_tokens", [])
+        self._pending_overflow_tokens = []
+        return pending + out
+
+    # ---- contract: events -----------------------------------------------------
+
+    def get_buffer(self) -> Transcript:
+        if not self.buffer_tail:
+            return Transcript(None, None, "")
+        return Transcript(
+            start=self._segment_committed_end,
+            end=self._appended_time(),
+            text=" ".join(self.buffer_tail),
+        )
+
+    def start_silence(self):
+        return self.process_iter(is_last=True)
+
+    def end_silence(self, duration: float, offset: float) -> None:
+        self.stream_time += duration
+        if duration < MIN_DURATION_REAL_SILENCE:
+            gap = int(self.SAMPLING_RATE * duration)
+            if gap > 0:
+                self.audio_buffer = np.concatenate(
+                    [self.audio_buffer, np.zeros(gap, np.float32)]
+                )
+        else:
+            self.audio_buffer = np.zeros(0, np.float32)
+            self._segment_reset()
+            self.time_base = duration + offset
+            self._segment_committed_end = self.time_base
+
+    def new_speaker(self, change: ChangeSpeaker) -> None:
+        self.process_iter(is_last=True)
+        self.audio_buffer = np.zeros(0, np.float32)
+        self._segment_reset()
+        self.speaker = change.speaker
+        self.time_base = change.start
+        self._segment_committed_end = change.start
+
+    def finish(self) -> Tuple[List[ASRToken], float]:
+        return self.process_iter(is_last=True)
+
+    def warmup(self, audio: np.ndarray) -> None:
+        self.insert_audio_chunk(audio, len(audio) / self.SAMPLING_RATE)
+        self.process_iter()
