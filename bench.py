@@ -39,18 +39,17 @@ import jax.numpy as jnp
 TICK_SECONDS = 1.0       # audio consumed per tick per lane
 DECODE_STEPS = 8         # pinned decode work per tick (~ realistic token rate)
 PREFIX_BUCKET = 64
-TAIL_FRAMES = 384        # incremental tail (7.7 s of left context)
 ANCHOR_EVERY = 7.5       # ticks between full re-anchors (evict block = 7.5 s)
 EOT = 50257
 TS_BEGIN = 50364
 NO_SPEECH = 50362
 SPACE = 220
 
-# (model, lane-group widths to sweep, is_headline)
+# (model, lane-group widths, tail frames, f8 cross-KV, is_headline)
 SWEEP = [
-    ("base", (64, 96, 128), False),
-    ("large-v3-turbo", (16, 32, 64), False),
-    ("large-v3", (8, 16, 24), True),
+    ("base", (64, 96), 384, False, False),
+    ("large-v3-turbo", (32, 64), 384, False, False),
+    ("large-v3", (16, 24, 32), 256, True, True),
 ]
 
 
@@ -91,10 +90,11 @@ def _core_args(dims, B, rng, suppress_mask, align_layers, align_heads):
     )
 
 
-def _statics(dims):
+def _statics(dims, xkv_f8=False):
     return dict(
         dims=dims, p_max=PREFIX_BUCKET, max_steps=DECODE_STEPS, eot=EOT,
         ts_begin=TS_BEGIN, no_speech_tok=NO_SPEECH, space_tok=SPACE,
+        xkv_f8=xkv_f8,
     )
 
 
@@ -110,7 +110,7 @@ def time_call(fn, iters=4) -> float:
     return (time.perf_counter() - t0) / iters
 
 
-def bench_model(name: str, widths, results: dict) -> float:
+def bench_model(name: str, widths, results: dict, tail_frames=384, xkv_f8=False) -> float:
     from whisperlivekit_tpu.models.whisper import model as wm
     from whisperlivekit_tpu.models.whisper.dims import MODEL_DIMS
     from whisperlivekit_tpu.streaming import alignatt as A
@@ -120,7 +120,7 @@ def bench_model(name: str, widths, results: dict) -> float:
     rng = np.random.default_rng(0)
     suppress_mask = _suppress(dims)
     align_layers, align_heads = _align(dims, name)
-    statics = _statics(dims)
+    statics = _statics(dims, xkv_f8=xkv_f8)
 
     best_streams, best_B, best_lat = 0.0, 0, 0.0
     for B in widths:
@@ -134,7 +134,7 @@ def bench_model(name: str, widths, results: dict) -> float:
             core = _core_args(dims, B, rng, suppress_mask, align_layers, align_heads)
             lanes = jnp.arange(B, dtype=jnp.int32)
             enc_lanes = lanes + 1
-            tail_start = jnp.full((B,), 1500 - TAIL_FRAMES, jnp.int32)
+            tail_start = jnp.full((B,), 1500 - tail_frames, jnp.int32)
             win = jnp.full((B,), 1500, jnp.int32)
             write_start = jnp.full((B,), 1500 - 50 - 32, jnp.int32)  # 1 s + margin
 
@@ -144,7 +144,7 @@ def bench_model(name: str, widths, results: dict) -> float:
                 out = A.alignatt_tick_inc(
                     params, audio_pool, state["enc_pool"], lanes, enc_lanes,
                     tail_start, win, write_start, *core,
-                    **statics, tail_frames=TAIL_FRAMES,
+                    **statics, tail_frames=tail_frames,
                 )
                 state["enc_pool"] = out[-1]
                 return out
@@ -191,8 +191,8 @@ def main() -> None:
     sys.path.insert(0, ".")
     results: dict = {}
     headline = 0.0
-    for name, widths, is_headline in SWEEP:
-        streams = bench_model(name, widths, results)
+    for name, widths, tail, xkv_f8, is_headline in SWEEP:
+        streams = bench_model(name, widths, results, tail_frames=tail, xkv_f8=xkv_f8)
         if is_headline:
             headline = streams
 

@@ -108,6 +108,7 @@ class WLKConfig:
     max_batch_sessions: int = 64             # scheduler packing width per chip
     scheduler: bool = True                   # multi-session batch scheduler on/off
     incremental_encode: bool = True          # cache encoder frames; re-encode tails only
+    xkv_f8: bool = False                     # f8 cross-KV storage (large-model throughput)
     mesh_shape: Optional[str] = None         # e.g. "data:4,model:2"; None = 1 chip
     donate_kv_cache: bool = True
     profile_dir: Optional[str] = None        # jax.profiler trace output

@@ -90,6 +90,7 @@ class SimulStreamingASR:
             max_context_tokens=config.max_context_tokens,
             never_fire=config.never_fire,
             cif_ckpt_path=config.cif_ckpt_path,
+            xkv_f8=getattr(config, "xkv_f8", False),
         )
         self.engine = AlignAttEngine(
             params, dims, self.tokenizer, self.cfg, model_name=model_name,

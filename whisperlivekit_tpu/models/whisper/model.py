@@ -398,6 +398,11 @@ def decode(
         # -- cross attention over encoder features --
         h = layer_norm(x, bp["cross_ln"])
         qx = _split_heads(dense(h, bp["cross"]["q"]), n_head)
+        # cross-KV may be stored narrow (f8) to halve the per-step HBM read
+        # (32 layers x [B,1500,H,Dh] x2 dominates decode-step time at
+        # large-v3); the cast happens per layer inside the scan.
+        xk = xk.astype(x.dtype)
+        xv = xv.astype(x.dtype)
         xattn, xprobs = _attend(qx, xk, xv, mask=cross_mask)  # xprobs [B,H,S,T]
         x = x + dense(_merge_heads(xattn), bp["cross"]["o"])
 

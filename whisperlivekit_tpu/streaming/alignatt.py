@@ -77,6 +77,8 @@ class AlignAttConfig:
     enc_rewrite_margin: int = 32 # trailing frames re-encoded every tick so a
                                  # frame freezes only after 0.64 s of right ctx
     evict_block_s: float = 0.0   # 0 = audio_max_len/4 when enc caching is on
+    xkv_f8: bool = False         # store cross-KV in f8_e4m3 (throughput mode:
+                                 # halves the dominant decode-step HBM read)
 
 
 class TokenBufferCtx:
@@ -221,6 +223,7 @@ def _tick_core(
     no_speech_tok: int,
     space_tok: int,
     use_cif: bool = False,
+    xkv_f8: bool = False,
 ):
     """The decode phase of one streaming tick (everything after encoding)."""
     B = enc.shape[0]
@@ -252,6 +255,12 @@ def _tick_core(
     else:
         fire = jnp.ones((B,), bool)
     xkv = wm.cross_kv(params, enc, dims)
+    if xkv_f8:
+        # store cross-KV in f8_e4m3 (storage only; per-layer cast back in the
+        # decode scan): halves the dominant per-step HBM read at large models
+        xkv = wm.CrossKV(
+            k=xkv.k.astype(jnp.float8_e4m3fn), v=xkv.v.astype(jnp.float8_e4m3fn)
+        )
     cache = wm.init_cache(
         dims, B, dtype=params["decoder"]["tok_emb"].dtype,
         width=p_max + max_steps + 1,
@@ -434,7 +443,7 @@ def _tick_core(
 
 _TICK_STATICS = (
     "dims", "p_max", "max_steps", "eot", "ts_begin", "no_speech_tok",
-    "space_tok", "use_cif",
+    "space_tok", "use_cif", "xkv_f8",
 )
 
 @partial(jax.jit, static_argnames=_TICK_STATICS)
@@ -444,7 +453,7 @@ def alignatt_tick(
     max_new, suppress_mask, align_layers, align_heads, frame_threshold,
     rewind_threshold, nonspeech_prob, active_in, cif_w, cif_b,
     dims, p_max, max_steps, eot, ts_begin, no_speech_tok, space_tok,
-    use_cif=False,
+    use_cif=False, xkv_f8=False,
 ):
     """One streaming tick for B lanes from raw audio [B, N_SAMPLES].
 
@@ -456,7 +465,7 @@ def alignatt_tick(
         last_attend, is_last, max_new, suppress_mask, align_layers,
         align_heads, frame_threshold, rewind_threshold, nonspeech_prob,
         active_in, cif_w, cif_b, dims, p_max, max_steps, eot, ts_begin,
-        no_speech_tok, space_tok, use_cif,
+        no_speech_tok, space_tok, use_cif, xkv_f8,
     )
 
 
@@ -467,7 +476,7 @@ def alignatt_tick_anchor(
     max_new, suppress_mask, align_layers, align_heads, frame_threshold,
     rewind_threshold, nonspeech_prob, active_in, cif_w, cif_b,
     dims, p_max, max_steps, eot, ts_begin, no_speech_tok, space_tok,
-    use_cif=False,
+    use_cif=False, xkv_f8=False,
 ):
     """Full-window tick that also re-anchors the per-lane encoder cache:
     the freshly computed enc rows are written into ``enc_pool`` at
@@ -481,7 +490,7 @@ def alignatt_tick_anchor(
         last_attend, is_last, max_new, suppress_mask, align_layers,
         align_heads, frame_threshold, rewind_threshold, nonspeech_prob,
         active_in, cif_w, cif_b, dims, p_max, max_steps, eot, ts_begin,
-        no_speech_tok, space_tok, use_cif,
+        no_speech_tok, space_tok, use_cif, xkv_f8,
     )
     return outs + (enc_pool,)
 
@@ -505,6 +514,7 @@ def alignatt_tick_inc(
     rewind_threshold, nonspeech_prob, active_in, cif_w, cif_b,
     dims, p_max, max_steps, eot, ts_begin, no_speech_tok, space_tok,
     use_cif=False,
+    xkv_f8=False,
     tail_frames: int = 384,
 ):
     """Incremental tick: re-encode only the window tail and extend the cache.
@@ -556,7 +566,7 @@ def alignatt_tick_inc(
         content_frames, last_attend, is_last, max_new, suppress_mask,
         align_layers, align_heads, frame_threshold, rewind_threshold,
         nonspeech_prob, active_in, cif_w, cif_b, dims, p_max, max_steps, eot,
-        ts_begin, no_speech_tok, space_tok, use_cif,
+        ts_begin, no_speech_tok, space_tok, use_cif, xkv_f8,
     )
     return outs + (enc_pool,)
 
@@ -760,6 +770,7 @@ def _core_device_args(engine, arr, tokenizer, p_max: int):
         no_speech_tok=tokenizer.no_speech,
         space_tok=tokenizer.encode(" ")[0],
         use_cif=engine.use_cif,
+        xkv_f8=cfg.xkv_f8,
     )
     return args, statics
 
