@@ -96,6 +96,18 @@ class WLKConfig:
     segmentation_model: str = "pyannote/segmentation-3.0"
     embedding_model: str = "pyannote/embedding"
 
+    # ---- Qwen3 streaming (reference config.py:104-149; honored subset —
+    # vLLM/Metal/CUDA device knobs are N/A on the TPU engine and warn+drop
+    # through the reference-name aliases below) ------------------------------
+    qwen3_audio_backend: str = "causal"      # causal | windowed
+    qwen3_block_frames: int = 100            # causal tower block (enc frames; 2 s)
+    qwen3_hold_back_words: int = 2           # frontier words held from commit
+    qwen3_max_new_tokens: int = 48           # hypothesis budget per tick
+    qwen3_window_sec: float = 15.0           # bounded audio window before reset
+    qwen3_tower_checkpoint: Optional[str] = None
+    holdback_words: int = 6                  # windowed-policy hold-back (reference name)
+    trim_sentence_buffer: bool = False       # LA: trim at sentences, not segments
+
     # ---- Translation -------------------------------------------------------
     nllb_backend: str = "jax"                # this framework runs NLLB in JAX
     nllb_size: str = "600M"
@@ -109,6 +121,7 @@ class WLKConfig:
     scheduler: bool = True                   # multi-session batch scheduler on/off
     incremental_encode: bool = True          # cache encoder frames; re-encode tails only
     xkv_f8: bool = False                     # f8 cross-KV storage (large-model throughput)
+    openai_base_url: Optional[str] = None    # backend=openai-api endpoint override
     mesh_shape: Optional[str] = None         # e.g. "data:4,model:2"; None = 1 chip
     donate_kv_cache: bool = True
     profile_dir: Optional[str] = None        # jax.profiler trace output
@@ -120,6 +133,8 @@ class WLKConfig:
             self.backend_policy = "simulstreaming"
         elif self.backend_policy == "2":
             self.backend_policy = "localagreement"
+        if self.trim_sentence_buffer:
+            self.buffer_trimming = "sentence"
 
     # ---- factories ---------------------------------------------------------
 
@@ -130,11 +145,12 @@ class WLKConfig:
 
     @classmethod
     def from_kwargs(cls, **kwargs) -> "WLKConfig":
-        """Programmatic path; unknown keys warn and are dropped, and the
-        reference's ``no_*`` negation convention is honored
-        (reference core.py:82-93)."""
+        """Programmatic path; reference flag names alias onto ours, unknown
+        keys warn and are dropped, and the reference's ``no_*`` negation
+        convention is honored (reference core.py:82-93)."""
         normalized = {}
         for k, v in kwargs.items():
+            k = _REFERENCE_ALIASES.get(k, k)
             if k.startswith("no_") and isinstance(v, bool):
                 normalized.setdefault(k[3:], not v)
             else:
@@ -145,6 +161,21 @@ class WLKConfig:
             logger.warning("Unknown config keys ignored: %s", sorted(unknown))
         return cls(**{k: v for k, v in normalized.items() if k in known})
 
+
+#: Reference flag names → this framework's fields (migration compatibility;
+#: reference parse_args.py / config.py:104-149). vLLM/Metal/device knobs have
+#: no TPU counterpart and fall through to the warn-and-drop path.
+_REFERENCE_ALIASES = {
+    "qwen3_streaming_audio_backend": "qwen3_audio_backend",
+    "qwen3_streaming_block_frames": "qwen3_block_frames",
+    "qwen3_streaming_hold_back_words": "qwen3_hold_back_words",
+    "qwen3_streaming_max_new_tokens": "qwen3_max_new_tokens",
+    "qwen3_streaming_left_context_sec": "qwen3_window_sec",
+    "qwen3_streaming_tower_checkpoint": "qwen3_tower_checkpoint",
+    "qwen3_vllm_tower_checkpoint": "qwen3_tower_checkpoint",
+    "qwen3_vllm_block_frames": "qwen3_block_frames",
+    "disable_punctuation_split": "no_punctuation_split",
+}
 
 # Backwards-compatible alias for users porting from the reference.
 WhisperLiveKitConfig = WLKConfig

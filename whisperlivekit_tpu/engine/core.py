@@ -121,6 +121,29 @@ class LocalAgreementASR:
         )
 
 
+class CloudASRHolder(LocalAgreementASR):
+    """Backend holder for the OpenAI-compatible cloud API (reference
+    local_agreement/backends.py:222-287): LocalAgreement policy over a
+    remote /v1/audio/transcriptions — no local weights at all."""
+
+    def __init__(self, config: WLKConfig):
+        from ..streaming.cloud_backend import CloudWhisperASR
+
+        self.config = config
+        self.dims = None
+        self.decoder = None
+        self.asr = CloudWhisperASR(
+            language=config.lan,
+            model_name=(
+                config.model_size if config.model_size and not str(
+                    config.model_size).startswith("random:") else "whisper-1"
+            ),
+            base_url=getattr(config, "openai_base_url", None),
+        )
+        if config.direct_english_translation:
+            self.asr.direct_english_translation = True
+
+
 class VoxtralHolder:
     """Backend holder for the Voxtral audio-LLM (windowed streaming)."""
 
@@ -170,7 +193,10 @@ class TranscriptionEngine:
         self.translation_model = None
 
         self.scheduler = None
-        if config.transcription and (config.backend or "").startswith("qwen3"):
+        if config.transcription and config.backend == "openai-api":
+            self.asr = CloudASRHolder(config)
+            logger.info("Loaded OpenAI-compatible cloud backend (LocalAgreement)")
+        elif config.transcription and (config.backend or "").startswith("qwen3"):
             from ..streaming.qwen3_causal import load_qwen3_causal
 
             self.asr = load_qwen3_causal(config)
@@ -298,7 +324,9 @@ def online_factory(config: WLKConfig, asr, language: Optional[str] = None, sched
 
             backend = SessionASRProxy(backend, language)
         if config.backend_policy == "windowed":
-            return WindowedStreamingProcessor(backend)
+            return WindowedStreamingProcessor(
+                backend, hold_back_words=getattr(config, "holdback_words", 6)
+            )
         return OnlineASRProcessor(backend)
 
     from ..streaming.simul_processor import SimulStreamingOnlineProcessor

@@ -83,14 +83,20 @@ def load_qwen3_causal(config) -> "Qwen3CausalASR":
     """Resolve the causal tower: an HF checkpoint directory (config.json +
     safetensors, `qfuxa/qwen3-asr-0.6b-streaming` layout) or random weights
     (``random:<size>`` / no path — CI and zero-egress hosts)."""
+    import dataclasses
     import json
     import os
 
     import jax
 
-    path = config.model_path
-    window_s = float(getattr(config, "audio_max_len", 15.0) or 15.0)
-    window_s = min(window_s, 15.0)
+    path = getattr(config, "qwen3_tower_checkpoint", None) or config.model_path
+    window_s = float(getattr(config, "qwen3_window_sec", 15.0) or 15.0)
+    knobs = dict(
+        window_s=window_s,
+        hold_back_words=int(getattr(config, "qwen3_hold_back_words", 2)),
+        max_new=int(getattr(config, "qwen3_max_new_tokens", 48)),
+    )
+    block_frames = int(getattr(config, "qwen3_block_frames", 0) or 0)
 
     if path and os.path.isdir(path) and os.path.isfile(os.path.join(path, "config.json")):
         with open(os.path.join(path, "config.json")) as f:
@@ -109,6 +115,8 @@ def load_qwen3_causal(config) -> "Qwen3CausalASR":
 
         from ..models.whisper.load import _read_safetensors_dir
 
+        if block_frames:
+            dims = dataclasses.replace(dims, block_frames=block_frames)
         sd = _read_safetensors_dir(Path(path))
         params = qm.convert_hf_state_dict(sd, dims)
         tokenizer = None
@@ -118,15 +126,17 @@ def load_qwen3_causal(config) -> "Qwen3CausalASR":
             tokenizer = _HFWordTokenizer(AutoTokenizer.from_pretrained(path))
         except Exception as e:  # tokenizer assets may be absent offline
             logger.warning("qwen3 tokenizer unavailable (%s); debug tokenizer", e)
-        return Qwen3CausalASR(params, dims, tokenizer=tokenizer, window_s=window_s)
+        return Qwen3CausalASR(params, dims, tokenizer=tokenizer, **knobs)
 
     size = (path or config.model_size or "").replace("random:", "")
     dims = qm.DEV_TINY if size in ("", "dev-tiny", "random") else qm.Qwen3ASRDims(
         text=qm.DEV_TINY_TEXT
     )
+    if block_frames:
+        dims = dataclasses.replace(dims, block_frames=block_frames)
     params = qm.init_params(dims, jax.random.PRNGKey(0))
     logger.warning("qwen3 causal backend running RANDOM weights (%s)", size or "dev-tiny")
-    return Qwen3CausalASR(params, dims, window_s=window_s)
+    return Qwen3CausalASR(params, dims, **knobs)
 
 
 class _HFWordTokenizer:
