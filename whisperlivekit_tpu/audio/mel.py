@@ -111,17 +111,19 @@ def stft_power(audio: jnp.ndarray, precision=jax.lax.Precision.HIGHEST) -> jnp.n
     if squeeze:
         audio = audio[None]
     pad = N_FFT // 2
-    x = jnp.pad(audio, ((0, 0), (pad, pad)), mode="reflect")
-    kern = jnp.asarray(_dft_kernel())
-    # [B, 1, T] conv [402, 1, 400] stride 160 -> [B, 402, frames]
-    out = jax.lax.conv_general_dilated(
-        x[:, None, :].astype(jnp.float32),
-        kern,
-        window_strides=(HOP_LENGTH,),
-        padding="VALID",
-        dimension_numbers=("NCH", "OIH", "NCH"),
-        preferred_element_type=jnp.float32,
-        precision=precision,
+    x = jnp.pad(audio, ((0, 0), (pad, pad)), mode="reflect").astype(jnp.float32)
+    # explicit framing + one MXU matmul: a stride-160 conv lowers to VPU
+    # column extraction on TPU (~10x slower than the equivalent dot)
+    n_frames = (x.shape[1] - N_FFT) // HOP_LENGTH + 1
+    idx = (
+        jnp.arange(n_frames, dtype=jnp.int32)[:, None] * HOP_LENGTH
+        + jnp.arange(N_FFT, dtype=jnp.int32)[None, :]
+    )
+    frames = x[:, idx]  # [B, n_frames, 400]
+    kern = jnp.asarray(_dft_kernel())[:, 0, :]  # [402, 400]
+    out = jnp.einsum(
+        "btf,kf->bkt", frames, kern,
+        preferred_element_type=jnp.float32, precision=precision,
     )
     n_bins = N_FFT // 2 + 1
     real, imag = out[:, :n_bins], out[:, n_bins:]

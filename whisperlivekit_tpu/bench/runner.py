@@ -1,10 +1,12 @@
-"""`wlk bench`: quality/latency benchmark over audio files.
+"""`wlk bench`: quality/latency benchmark over audio files or datasets.
 
-Reference parity: benchmark/runner.py:15-180 + report.py — run samples
-through the in-process TestHarness, report WER / RTF / first-word latency /
-per-call ASR latency, with JSON export. Datasets are local files here
-(reference auto-downloads LibriSpeech/MLS/FLEURS/AMI; zero-egress hosts pass
---audio FILE --ref TEXTFILE pairs or a directory).
+Reference parity: benchmark/runner.py:15-180 + datasets.py + report.py —
+samples come from local files (--audio/--dataset-dir) or a registered public
+corpus (--dataset librispeech_clean|mls_fr|fleurs_en|ami_ihm|synthetic…,
+auto-downloaded and cached; see bench/datasets.py), run through the
+in-process TestHarness, and report WER (EnglishTextNormalizer methodology
+for English) / RTF / first-word latency per language (bench/report.py),
+with JSON export.
 """
 
 from __future__ import annotations
@@ -27,7 +29,10 @@ def _pairs_from_dir(d: Path) -> List[tuple]:
     return pairs
 
 
-async def bench_one(path: Path, ref_text: Optional[str], config, speed: float) -> dict:
+async def bench_one(
+    path: Path, ref_text: Optional[str], config, speed: float,
+    language: str = "?", dataset: str = "local",
+) -> dict:
     from ..harness.harness import TestHarness
     from dataclasses import asdict
 
@@ -53,17 +58,23 @@ async def bench_one(path: Path, ref_text: Optional[str], config, speed: float) -
         audio_s = h.audio_position
         out = {
             "file": str(path),
+            "language": language,
+            "dataset": dataset,
+            "duration_s": round(audio_s, 2),
             "audio_s": round(audio_s, 2),
             "processing_s": round(processing, 2),
             "rtf": round(processing / audio_s, 4) if audio_s else None,
-            "first_word_latency_s": round(first_word_latency, 3)
+            "first_word_latency": round(first_word_latency, 3)
             if first_word_latency
             else None,
             "text": final.text,
             "metrics": h.metrics.to_dict(),
         }
         if ref_text:
-            out["wer"] = round(compute_wer(ref_text, final.text)["wer"], 4)
+            english = language in ("en", "?")
+            out["wer"] = round(
+                compute_wer(ref_text, final.text, english=english)["wer"], 4
+            )
         return out
 
 
@@ -74,49 +85,57 @@ def main(argv: List[str]) -> int:
     audio = _pop_flag(argv, "--audio")
     ref = _pop_flag(argv, "--ref")
     dataset_dir = _pop_flag(argv, "--dataset-dir")
+    dataset_names = _pop_flag(argv, "--dataset")
+    n_samples = int(_pop_flag(argv, "--n", "4"))
     out_json = _pop_flag(argv, "--json")
     speed = float(_pop_flag(argv, "--speed", "0"))
     config = parse_args(argv)
 
-    pairs: List[tuple] = []
+    tasks: List[tuple] = []  # (path, ref_text, language, dataset)
     if audio:
-        pairs.append((Path(audio), Path(ref) if ref else None))
+        ref_text = Path(ref).read_text().strip() if ref else None
+        tasks.append((Path(audio), ref_text, config.lan or "?", "local"))
     elif dataset_dir:
-        pairs = _pairs_from_dir(Path(dataset_dir))
-    if not pairs:
+        for wav, txt in _pairs_from_dir(Path(dataset_dir)):
+            tasks.append(
+                (wav, txt.read_text().strip() if txt else None, config.lan or "?", "local")
+            )
+    elif dataset_names:
+        from .datasets import fetch
+
+        for name in dataset_names.split(","):
+            for s in fetch(name.strip(), n_samples=n_samples):
+                tasks.append((Path(s.audio_path), s.reference, s.language, s.dataset))
+    if not tasks:
         print(
-            "usage: wlk bench --audio FILE [--ref TEXT_FILE] | --dataset-dir DIR "
-            "[--speed 0|1] [--json OUT] [flags]",
+            "usage: wlk bench --audio FILE [--ref TEXT] | --dataset-dir DIR | "
+            "--dataset NAME[,NAME..] [--n 4] [--speed 0|1] [--json OUT] [flags]",
             file=sys.stderr,
         )
         return 2
 
     results = []
-    for wav, txt in pairs:
-        ref_text = txt.read_text().strip() if txt else None
-        res = asyncio.run(bench_one(wav, ref_text, config, speed))
+    for wav, ref_text, language, dataset in tasks:
+        res = asyncio.run(bench_one(wav, ref_text, config, speed, language, dataset))
         results.append(res)
         wer = f" wer={res['wer']:.3f}" if "wer" in res else ""
         print(
             f"{wav.name}: rtf={res['rtf']}{wer} "
-            f"first_word={res['first_word_latency_s']}s",
+            f"first_word={res['first_word_latency']}s",
             file=sys.stderr,
         )
 
-    rtfs = [r["rtf"] for r in results if r["rtf"]]
-    summary = {
-        "n_samples": len(results),
-        "avg_rtf": round(sum(rtfs) / len(rtfs), 4) if rtfs else None,
-        "avg_wer": round(
-            sum(r["wer"] for r in results if "wer" in r)
-            / max(sum(1 for r in results if "wer" in r), 1),
-            4,
-        )
-        if any("wer" in r for r in results)
-        else None,
-        "results": results,
-    }
+    from .report import build_report, print_report, save_report
+
+    report = build_report(
+        results,
+        config_summary={
+            "model": config.model_size, "backend": config.backend,
+            "policy": config.backend_policy, "speed": speed,
+        },
+    )
+    print_report(report, file=sys.stderr)
     if out_json:
-        Path(out_json).write_text(json.dumps(summary, indent=2))
-    print(json.dumps({k: v for k, v in summary.items() if k != "results"}))
+        save_report(report, out_json)
+    print(json.dumps({"per_language": report["per_language"], "overall": report["overall"]}))
     return 0

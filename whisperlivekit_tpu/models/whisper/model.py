@@ -309,12 +309,20 @@ def init_cache(
     return KVCache(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
 
 
-def cross_kv(params: Params, enc: jnp.ndarray, dims: ModelDimensions) -> CrossKV:
+def cross_kv(
+    params: Params, enc: jnp.ndarray, dims: ModelDimensions, out_dtype=None
+) -> CrossKV:
+    """``out_dtype`` (e.g. f8_e4m3) casts per layer INSIDE the scan so the
+    full-width tensor never materializes — at large-v3 x B=32 the bf16
+    transient alone is ~8 GB."""
     n_head = dims.n_text_head
 
     def per_layer(_, bp):
         k = _split_heads(dense(enc, bp["cross"]["k"]), n_head)
         v = _split_heads(dense(enc, bp["cross"]["v"]), n_head)
+        if out_dtype is not None:
+            k = k.astype(out_dtype)
+            v = v.astype(out_dtype)
         return None, (k, v)
 
     _, (ks, vs) = jax.lax.scan(per_layer, None, params["decoder"]["blocks"])
@@ -346,12 +354,19 @@ def decode(
     dims: ModelDimensions,
     align: Optional[AlignSpec] = None,
     enc_mask: Optional[jnp.ndarray] = None,  # [B, T_enc] bool — valid frames
+    align_reduce: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray], KVCache]:
     """Teacher-forced step over S new tokens for every lane.
 
     Returns (logits [B,S,V] f32, align_probs [K,B,S,T_enc] f32 | None,
     updated cache). Works for prefill (S = prompt length, pos = 0) and for
     incremental block-decode (S = decode_block_tokens, per-lane pos).
+
+    ``align_reduce=(w_sum [B,S], w_last [B,S])`` switches the alignment
+    output to in-scan row reductions — (asum, asq, last) each [B,K,T] —
+    instead of materializing [K,B,S,T]: at prefill width the full buffer
+    costs ~2x its size in HBM traffic per layer, which dominates large-model
+    prefill (the gate only ever consumes these three reductions).
     """
     dec = params["decoder"]
     B, S = tokens.shape
@@ -374,10 +389,15 @@ def decode(
 
     batch_idx = jnp.arange(B, dtype=jnp.int32)[:, None]  # [B,1]
 
-    if align is not None:
-        align_acc = jnp.zeros(
-            (align.count, B, S, xkv.k.shape[2]), dtype=jnp.float32
+    T_enc = xkv.k.shape[2]
+    if align is not None and align_reduce is not None:
+        align_acc = (
+            jnp.zeros((B, align.count, T_enc), jnp.float32),
+            jnp.zeros((B, align.count, T_enc), jnp.float32),
+            jnp.zeros((B, align.count, T_enc), jnp.float32),
         )
+    elif align is not None:
+        align_acc = jnp.zeros((align.count, B, S, T_enc), dtype=jnp.float32)
     else:
         align_acc = None
 
@@ -410,7 +430,18 @@ def decode(
             # Route this layer's registered heads into their fixed slots.
             sel = (align.layers == layer_i).astype(jnp.float32)  # [K]
             gathered = xprobs[:, align.heads]  # [B,K,S,T]
-            align_acc = align_acc + sel[:, None, None, None] * gathered.transpose(1, 0, 2, 3)
+            if align_reduce is not None:
+                w_sum, w_last = align_reduce
+                asum, asq, alast = align_acc
+                g_sum = jnp.einsum("bkst,bs->bkt", gathered, w_sum)
+                g_sq = jnp.einsum("bkst,bs->bkt", gathered * gathered, w_sum)
+                g_last = jnp.einsum("bkst,bs->bkt", gathered, w_last)
+                selk = sel[None, :, None]
+                align_acc = (
+                    asum + selk * g_sum, asq + selk * g_sq, alast + selk * g_last
+                )
+            else:
+                align_acc = align_acc + sel[:, None, None, None] * gathered.transpose(1, 0, 2, 3)
 
         # -- mlp --
         h = layer_norm(x, bp["mlp_ln"])

@@ -254,34 +254,29 @@ def _tick_core(
         fire = has_any & (first_pos >= content_frames - 2)
     else:
         fire = jnp.ones((B,), bool)
-    xkv = wm.cross_kv(params, enc, dims)
-    if xkv_f8:
-        # store cross-KV in f8_e4m3 (storage only; per-layer cast back in the
-        # decode scan): halves the dominant per-step HBM read at large models
-        xkv = wm.CrossKV(
-            k=xkv.k.astype(jnp.float8_e4m3fn), v=xkv.v.astype(jnp.float8_e4m3fn)
-        )
+    # f8 cross-KV storage (per-layer cast inside the scan; storage only —
+    # the decode scan casts back per layer): halves the dominant per-step
+    # HBM read at large models and avoids the full-width bf16 transient
+    xkv = wm.cross_kv(
+        params, enc, dims, out_dtype=jnp.float8_e4m3fn if xkv_f8 else None
+    )
     cache = wm.init_cache(
         dims, B, dtype=params["decoder"]["tok_emb"].dtype,
         width=p_max + max_steps + 1,
     )
 
-    prefill_logits, aprobs, cache = wm.decode(
-        params, prefix, jnp.zeros((B,), jnp.int32), xkv, cache, dims, align=align
-    )
-    # aprobs [K,B,P,T] → per-lane running stats over the real prefix rows.
+    # prefill with in-scan alignment reductions: running stats over the real
+    # prefix rows + the last row's attention, all [B,K,T] (the full [K,B,P,T]
+    # buffer would cost ~2x its size in HBM traffic per decoder layer)
     row_mask = (jnp.arange(p_max)[None, :] < prefix_len[:, None]).astype(jnp.float32)
-    ap = aprobs.transpose(1, 0, 2, 3)  # [B,K,P,T]
-    asum = jnp.einsum("bkpt,bp->bkt", ap, row_mask)
-    asq = jnp.einsum("bkpt,bp->bkt", ap * ap, row_mask)
+    last_onehot = (
+        jnp.arange(p_max)[None, :] == (prefix_len - 1)[:, None]
+    ).astype(jnp.float32)
+    prefill_logits, (asum, asq, last_row), cache = wm.decode(
+        params, prefix, jnp.zeros((B,), jnp.int32), xkv, cache, dims,
+        align=align, align_reduce=(row_mask, last_onehot),
+    )
     acount = prefix_len.astype(jnp.float32)
-
-    gather_idx = (prefix_len - 1)[:, None, None, None]
-    last_row = jnp.take_along_axis(
-        ap, jnp.broadcast_to(gather_idx, (B, 1, 1, 1)), axis=2
-    )  # needs idx along axis 2
-    # jnp.take_along_axis broadcasting: index [B,1,1,1] over [B,K,P,T] axis=2
-    last_row = last_row[:, :, 0, :] if last_row.ndim == 4 else last_row
 
     no_speech_logits = jnp.take_along_axis(
         prefill_logits, sot_index[:, None, None], axis=1
