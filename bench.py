@@ -49,7 +49,7 @@ SPACE = 220
 SWEEP = [
     ("base", (64, 96), 384, False, False),
     ("large-v3-turbo", (32, 64), 384, False, False),
-    ("large-v3", (16, 32, 48), 256, True, True),
+    ("large-v3", (16, 24), 256, True, True),
 ]
 
 

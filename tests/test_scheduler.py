@@ -114,3 +114,69 @@ def test_no_async_attr_without_scheduler(engine):
 
     p = SimulStreamingOnlineProcessor(engine)
     assert getattr(p, "process_iter_async", None) is None
+
+
+def test_lane_group_rotation_no_starvation(engine):
+    """Backlog wider than the lane group: overflow leads the NEXT group
+    (rotation), every lane is served, and groups respect max_lanes."""
+    from whisperlivekit_tpu.engine.scheduler import BatchScheduler
+
+    async def main():
+        sched = BatchScheduler(engine, max_lanes=2, window_s=0.2, inline=False)
+
+        async def one_session(seed):
+            s = AlignAttSession(engine)
+            s.insert_audio(make_audio(seed))
+            ti = s.prepare_tick(False)
+            return await sched.submit(s, ti)
+
+        results = await asyncio.gather(*(one_session(i) for i in range(6)))
+        return sched.stats(), results
+
+    stats, results = asyncio.run(main())
+    assert len(results) == 6 and all(isinstance(r, list) for r in results)
+    assert stats["n_lanes_served"] == 6
+    assert stats["n_ticks"] >= 3            # 6 lanes / groups of 2
+    assert stats["n_rotations"] >= 1        # overflow carried between groups
+    assert stats["backlog"] == 0            # nothing starved/stuck
+
+
+def test_deadline_orders_admission(engine):
+    """Under overload the earliest deadline runs in the first group."""
+    from whisperlivekit_tpu.engine.scheduler import BatchScheduler
+
+    order = []
+
+    async def main():
+        sched = BatchScheduler(engine, max_lanes=1, window_s=0.2, inline=False)
+        loop = asyncio.get_running_loop()
+
+        async def one(seed, deadline_offset):
+            s = AlignAttSession(engine)
+            s.insert_audio(make_audio(seed))
+            ti = s.prepare_tick(False)
+            await sched.submit(s, ti, deadline=loop.time() + deadline_offset)
+            order.append(seed)
+
+        # seed 0 has the LATEST deadline, seed 2 the earliest
+        await asyncio.gather(one(0, 9.0), one(1, 5.0), one(2, 1.0))
+        return sched.stats()
+
+    stats = asyncio.run(main())
+    # the first completion should not be the latest-deadline lane
+    assert order[0] != 0
+    assert stats["queue_wait_p50_ms"] is not None
+    assert stats["word_emission_p95_ms"] is not None
+
+
+def test_lane_cap_scales_with_model(engine):
+    from whisperlivekit_tpu.engine.scheduler import _auto_lane_cap
+    from whisperlivekit_tpu.models.whisper.dims import MODEL_DIMS
+
+    class Fake:
+        def __init__(self, dims):
+            self.dims = dims
+
+    assert _auto_lane_cap(Fake(MODEL_DIMS["base"]), 96) == 96
+    assert _auto_lane_cap(Fake(MODEL_DIMS["large-v3-turbo"]), 96) == 64
+    assert _auto_lane_cap(Fake(MODEL_DIMS["large-v3"]), 96) == 16

@@ -117,7 +117,8 @@ class WLKConfig:
     param_dtype: str = "bfloat16"
     decode_block_tokens: int = 8             # decode steps fused per device call
     max_decode_tokens: int = 224             # hard cap per streaming inference
-    max_batch_sessions: int = 64             # scheduler packing width per chip
+    max_batch_sessions: int = 96             # scheduler lane-group width cap
+                                             # (auto-bounded per model scale)
     scheduler: bool = True                   # multi-session batch scheduler on/off
     incremental_encode: bool = True          # cache encoder frames; re-encode tails only
     xkv_f8: bool = False                     # f8 cross-KV storage (large-model throughput)

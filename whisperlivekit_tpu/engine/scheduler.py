@@ -2,16 +2,26 @@
 
 The reference runs one PyTorch decode per session per tick on its own asyncio
 task (reference audio_processor.py:763-802 + SURVEY.md §2.10). Here all live
-sessions' pending ticks are packed into ONE device program per scheduling
-window: lanes are collected from an asyncio queue for up to ``window_s``
-(or until ``max_lanes``), padded to a power-of-two batch, executed by
-``run_tick_batch`` (streaming/alignatt.py), and the per-lane results are
-scattered back through futures. Sessions at different decode depths coexist
-via per-lane prefix lengths / content frames / stop state.
+sessions' pending ticks are packed into device programs per scheduling
+window; sessions at different decode depths coexist via per-lane prefix
+lengths / content frames / stop state (streaming/alignatt.py run_tick_batch).
 
-Throughput math (bench.py, whisper-base, 1x v5e): a 64-lane tick costs
-~0.34 s — 64 sessions' seconds of audio for a third of a second of chip
-time, vs 64 sequential single-lane ticks at ~52 ms each (3.3 s).
+Scheduling policy (net-new; the reference has no analog):
+
+- **Deadline-aware admission**: each submission carries a deadline
+  (default: enqueue + tick_budget_s). The backlog is served
+  earliest-deadline-first, so a lane that waited is served before a lane
+  that just arrived — no starvation under overload.
+- **Lane-group rotation**: when the backlog exceeds the lane-group width,
+  the overflow forms the FRONT of the next group; groups rotate through the
+  session population within the second — the capacity model the bench
+  measures (bench.py: sustainable streams = B / amortized tick time).
+- **Overload visibility, not audio drops**: under overload the queue wait
+  grows (cadence degrades) and p50/p95 wait + word-emission latency are
+  exported via ``stats()`` → /health; audio is never discarded by the
+  scheduler (the reference's AudioProcessor watermark surfaces the lag).
+- **Model-scaled lane groups**: group width is capped by model size
+  (HBM bound: large-v3's per-lane cross-KV workspace limits groups to ~16).
 """
 
 from __future__ import annotations
@@ -19,6 +29,7 @@ from __future__ import annotations
 import asyncio
 import logging
 import os
+import time
 from typing import List, Optional, Tuple
 
 from ..streaming.alignatt import (
@@ -34,51 +45,111 @@ from ..timed import ASRToken
 logger = logging.getLogger(__name__)
 
 
+def _auto_lane_cap(engine: AlignAttEngine, requested: int) -> int:
+    """HBM-bound lane-group width per model scale (measured on v5e:
+    bench.py sub-metrics — base peaks at 96, turbo at 64, large-v3 at 16)."""
+    d = engine.dims
+    if d.n_audio_state >= 1280 and d.n_text_layer >= 16:  # large-v3 class
+        return min(requested, 16)
+    if d.n_audio_state >= 1280:  # turbo class
+        return min(requested, 64)
+    return requested
+
+
+class _Pending:
+    __slots__ = ("session", "ti", "fut", "deadline", "enqueued")
+
+    def __init__(self, session, ti, fut, deadline, enqueued):
+        self.session = session
+        self.ti = ti
+        self.fut = fut
+        self.deadline = deadline
+        self.enqueued = enqueued
+
+
+class _Quantiles:
+    """Bounded reservoir for p50/p95 reporting."""
+
+    def __init__(self, cap: int = 512):
+        self.cap = cap
+        self.values: List[float] = []
+        self._i = 0
+
+    def add(self, v: float) -> None:
+        if len(self.values) < self.cap:
+            self.values.append(v)
+        else:
+            self.values[self._i % self.cap] = v
+        self._i += 1
+
+    def quantile(self, q: float) -> Optional[float]:
+        if not self.values:
+            return None
+        xs = sorted(self.values)
+        return xs[min(int(q * len(xs)), len(xs) - 1)]
+
+
 class BatchScheduler:
     def __init__(
         self,
         engine: AlignAttEngine,
-        max_lanes: int = 64,
+        max_lanes: int = 96,
         window_s: float = 0.02,
+        tick_budget_s: float = 1.0,
         inline: Optional[bool] = None,
         profile_dir: Optional[str] = None,
         profile_ticks: int = 5,
         incremental_encode: bool = True,
     ):
         self.engine = engine
-        self.max_lanes = max_lanes
+        self.max_lanes = _auto_lane_cap(engine, max_lanes)
         self.window_s = window_s
+        self.tick_budget_s = tick_budget_s
         if inline is None:
             inline = os.environ.get("JAX_PLATFORMS", "") == "axon"
         self.inline = inline
         self._queue: Optional[asyncio.Queue] = None
         self._task: Optional[asyncio.Task] = None
+        self._carry: List[_Pending] = []  # rotation: overflow leads next group
         self.n_ticks = 0
         self.n_lanes_served = 0
+        self.n_rotations = 0
+        self._wait_q = _Quantiles()
+        self._emit_q = _Quantiles()
         # jax profiler: trace the first N ticks into profile_dir (view with
         # tensorboard / xprof) — the serving-path observability hook.
         self._profile_dir = profile_dir
         self._profile_ticks = profile_ticks
         self._profiling = False
         # device-resident audio windows: sessions ship only new samples
-        self.pool = AudioPool(capacity=4 * max_lanes)
+        self.pool = AudioPool(capacity=4 * self.max_lanes)
         # per-lane encoder-frame caches: each tick re-encodes only the window
         # tail (the ~30x full re-encode redundancy is the reference's main
         # throughput wall at large models; see alignatt_tick_inc)
         self.enc_pool: Optional[EncPool] = None
         if incremental_encode:
             dtype = engine.params["decoder"]["tok_emb"].dtype
-            self.enc_pool = EncPool(2 * max_lanes + 1, engine.dims, dtype=dtype)
+            self.enc_pool = EncPool(2 * self.max_lanes + 1, engine.dims, dtype=dtype)
 
     # ---- public API ------------------------------------------------------------
 
     async def submit(
-        self, session: AlignAttSession, tick_inputs: TickInputs
+        self,
+        session: AlignAttSession,
+        tick_inputs: TickInputs,
+        deadline: Optional[float] = None,
     ) -> List[ASRToken]:
-        """Queue one session's prepared tick; resolves to its emitted words."""
+        """Queue one session's prepared tick; resolves to its emitted words.
+
+        ``deadline`` (loop-clock seconds) orders admission under overload;
+        default = now + tick_budget (one tick per second of audio)."""
         self._ensure_running()
-        fut: asyncio.Future = asyncio.get_running_loop().create_future()
-        await self._queue.put((session, tick_inputs, fut))
+        loop = asyncio.get_running_loop()
+        now = loop.time()
+        fut: asyncio.Future = loop.create_future()
+        await self._queue.put(
+            _Pending(session, tick_inputs, fut, deadline or now + self.tick_budget_s, now)
+        )
         return await fut
 
     def stats(self) -> dict:
@@ -86,6 +157,13 @@ class BatchScheduler:
             "n_ticks": self.n_ticks,
             "n_lanes_served": self.n_lanes_served,
             "avg_lanes_per_tick": round(self.n_lanes_served / max(self.n_ticks, 1), 2),
+            "max_lanes": self.max_lanes,
+            "n_rotations": self.n_rotations,
+            "backlog": (self._queue.qsize() if self._queue else 0) + len(self._carry),
+            "queue_wait_p50_ms": _ms(self._wait_q.quantile(0.5)),
+            "queue_wait_p95_ms": _ms(self._wait_q.quantile(0.95)),
+            "word_emission_p50_ms": _ms(self._emit_q.quantile(0.5)),
+            "word_emission_p95_ms": _ms(self._emit_q.quantile(0.95)),
         }
 
     # ---- internals ----------------------------------------------------------------
@@ -108,24 +186,49 @@ class BatchScheduler:
         loop = asyncio.get_running_loop()
         if self._task is None or self._task.done():
             self._queue = asyncio.Queue()
+            self._carry = []
             self._task = loop.create_task(self._run(), name="batch-scheduler")
+
+    async def _gather_group(self) -> List[_Pending]:
+        """One lane group: carried overflow first (rotation), then the queue
+        drained for up to window_s, ordered earliest-deadline-first."""
+        loop = asyncio.get_running_loop()
+        batch = list(self._carry)
+        self._carry = []
+        if not batch:
+            batch.append(await self._queue.get())
+        deadline = loop.time() + self.window_s
+        while True:
+            timeout = deadline - loop.time()
+            if timeout <= 0:
+                break
+            try:
+                batch.append(await asyncio.wait_for(self._queue.get(), timeout))
+            except asyncio.TimeoutError:
+                break
+        # drain whatever arrived while packing (no extra waiting)
+        while True:
+            try:
+                batch.append(self._queue.get_nowait())
+            except asyncio.QueueEmpty:
+                break
+
+        if len(batch) > self.max_lanes:
+            batch.sort(key=lambda p: p.deadline)
+            self._carry = batch[self.max_lanes :]
+            batch = batch[: self.max_lanes]
+            self.n_rotations += 1
+        return batch
 
     async def _run(self) -> None:
         while True:
-            batch: List[Tuple] = [await self._queue.get()]
-            deadline = asyncio.get_running_loop().time() + self.window_s
-            while len(batch) < self.max_lanes:
-                timeout = deadline - asyncio.get_running_loop().time()
-                if timeout <= 0:
-                    break
-                try:
-                    batch.append(await asyncio.wait_for(self._queue.get(), timeout))
-                except asyncio.TimeoutError:
-                    break
+            batch = await self._gather_group()
+            loop = asyncio.get_running_loop()
+            t_start = loop.time()
+            for p in batch:
+                self._wait_q.add(t_start - p.enqueued)
 
-            sessions = [b[0] for b in batch]
-            tis = [b[1] for b in batch]
-            futs = [b[2] for b in batch]
+            tis = [p.ti for p in batch]
             self._maybe_profile()
             try:
                 if self.inline:
@@ -140,14 +243,20 @@ class BatchScheduler:
                     )
                 self.n_ticks += 1
                 self.n_lanes_served += len(batch)
-                for session, ti, fut, out in zip(sessions, tis, futs, outs):
-                    if not fut.done():
+                t_done = loop.time()
+                for p, out in zip(batch, outs):
+                    self._emit_q.add(t_done - p.enqueued)
+                    if not p.fut.done():
                         try:
-                            fut.set_result(session.finish_tick(ti, out))
+                            p.fut.set_result(p.session.finish_tick(p.ti, out))
                         except Exception as e:  # per-lane host policy error
-                            fut.set_exception(e)
+                            p.fut.set_exception(e)
             except Exception as e:
                 logger.exception("batch tick failed")
-                for fut in futs:
-                    if not fut.done():
-                        fut.set_exception(e)
+                for p in batch:
+                    if not p.fut.done():
+                        p.fut.set_exception(e)
+
+
+def _ms(v: Optional[float]) -> Optional[float]:
+    return round(v * 1e3, 1) if v is not None else None

@@ -79,6 +79,8 @@ class AlignAttConfig:
     evict_block_s: float = 0.0   # 0 = audio_max_len/4 when enc caching is on
     xkv_f8: bool = False         # store cross-KV in f8_e4m3 (throughput mode:
                                  # halves the dominant decode-step HBM read)
+    mel_pallas: bool = False     # fused Pallas log-mel for full-window ticks
+                                 # (wins at B>=32 on v5e: docs/perf/mel_ab_v5e.json)
 
 
 class TokenBufferCtx:
@@ -178,21 +180,28 @@ def dry_penalty(logits: jnp.ndarray, tokens: jnp.ndarray, cur_len: jnp.ndarray, 
 # ---------------------------------------------------------------------------
 
 
-def _tick_front(params, audio: jnp.ndarray, dims: ModelDimensions) -> jnp.ndarray:
+def _tick_front(
+    params, audio: jnp.ndarray, dims: ModelDimensions, mel_pallas: bool = False
+) -> jnp.ndarray:
     """Full-window front-end: int16/f32 audio [B, N_SAMPLES] -> enc [B, T, D].
 
     In-graph so one tick is one host->device transfer and zero extra
     dispatches (the mel is never materialized on host). Audio ships as int16
     (PCM's native width) to halve the transfer; conversion is device-side.
+    ``mel_pallas`` uses the fused Pallas front-end (faster at lane groups
+    >= 32 on v5e — measured A/B in docs/perf/mel_ab_v5e.json).
     """
     if audio.dtype == jnp.int16:
         audio = audio.astype(jnp.float32) / 32768.0
-    mel = pad_or_trim(
-        log_mel_spectrogram(
+    if mel_pallas:
+        from ..ops.mel_pallas import log_mel_pallas
+
+        mel = log_mel_pallas(audio, n_mels=dims.n_mels)
+    else:
+        mel = log_mel_spectrogram(
             audio, n_mels=dims.n_mels, precision=jax.lax.Precision.DEFAULT
-        ),
-        2 * dims.n_audio_ctx,
-    )
+        )
+    mel = pad_or_trim(mel, 2 * dims.n_audio_ctx)
     return wm.encode(params, mel, dims)
 
 
@@ -438,7 +447,7 @@ def _tick_core(
 
 _TICK_STATICS = (
     "dims", "p_max", "max_steps", "eot", "ts_begin", "no_speech_tok",
-    "space_tok", "use_cif", "xkv_f8",
+    "space_tok", "use_cif", "xkv_f8", "mel_pallas",
 )
 
 @partial(jax.jit, static_argnames=_TICK_STATICS)
@@ -448,13 +457,13 @@ def alignatt_tick(
     max_new, suppress_mask, align_layers, align_heads, frame_threshold,
     rewind_threshold, nonspeech_prob, active_in, cif_w, cif_b,
     dims, p_max, max_steps, eot, ts_begin, no_speech_tok, space_tok,
-    use_cif=False, xkv_f8=False,
+    use_cif=False, xkv_f8=False, mel_pallas=False,
 ):
     """One streaming tick for B lanes from raw audio [B, N_SAMPLES].
 
     Returns (new_tokens [B,max_steps], n_keep [B], frames [B,max_steps],
     reason [B], no_speech_prob [B], last_attend_out [B], fire [B])."""
-    enc = _tick_front(params, audio, dims)
+    enc = _tick_front(params, audio, dims, mel_pallas)
     return _tick_core(
         params, enc, prefix, prefix_len, sot_index, content_frames,
         last_attend, is_last, max_new, suppress_mask, align_layers,
@@ -471,14 +480,14 @@ def alignatt_tick_anchor(
     max_new, suppress_mask, align_layers, align_heads, frame_threshold,
     rewind_threshold, nonspeech_prob, active_in, cif_w, cif_b,
     dims, p_max, max_steps, eot, ts_begin, no_speech_tok, space_tok,
-    use_cif=False, xkv_f8=False,
+    use_cif=False, xkv_f8=False, mel_pallas=False,
 ):
     """Full-window tick that also re-anchors the per-lane encoder cache:
     the freshly computed enc rows are written into ``enc_pool`` at
     ``enc_lanes`` so subsequent incremental ticks extend them.
 
     Returns (*tick outputs, enc_pool')."""
-    enc = _tick_front(params, audio, dims)
+    enc = _tick_front(params, audio, dims, mel_pallas)
     enc_pool = enc_pool.at[enc_lanes].set(enc.astype(enc_pool.dtype))
     outs = _tick_core(
         params, enc, prefix, prefix_len, sot_index, content_frames,
@@ -510,6 +519,7 @@ def alignatt_tick_inc(
     dims, p_max, max_steps, eot, ts_begin, no_speech_tok, space_tok,
     use_cif=False,
     xkv_f8=False,
+    mel_pallas=False,  # accepted for statics symmetry; tails stay on XLA mel
     tail_frames: int = 384,
 ):
     """Incremental tick: re-encode only the window tail and extend the cache.
@@ -766,6 +776,7 @@ def _core_device_args(engine, arr, tokenizer, p_max: int):
         space_tok=tokenizer.encode(" ")[0],
         use_cif=engine.use_cif,
         xkv_f8=cfg.xkv_f8,
+        mel_pallas=getattr(cfg, "mel_pallas", False),
     )
     return args, statics
 
