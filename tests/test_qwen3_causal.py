@@ -194,3 +194,44 @@ def test_engine_routing_random_weights():
     tokens, upto = proc.process_iter(is_last=True)
     assert upto > 0
     TranscriptionEngine.reset()
+
+
+def test_voxtral_realtime_routing_and_stream():
+    """Voxtral realtime-causal rides the same block-causal machinery
+    (reference voxtral_hf_streaming.py role): 80 ms/token geometry, streams
+    with random dev weights through the engine routing."""
+    from whisperlivekit_tpu.config import WLKConfig
+    from whisperlivekit_tpu.engine.core import TranscriptionEngine, online_factory
+    from whisperlivekit_tpu.streaming.voxtral_realtime import VoxtralRealtimeASR
+
+    TranscriptionEngine.reset()
+    cfg = WLKConfig(
+        backend="voxtral", backend_policy="causal", model_size="random:dev-tiny",
+        lan="en", vac=False, pcm_input=True, scheduler=False, log_level="ERROR",
+    )
+    engine = TranscriptionEngine(cfg)
+    assert isinstance(engine.asr, VoxtralRealtimeASR)
+    proc = online_factory(cfg, engine.asr)
+    proc.insert_audio_chunk(audio_seconds(1), 1.0)
+    tokens, upto = proc.process_iter(is_last=True)
+    assert upto > 0
+    TranscriptionEngine.reset()
+
+
+def test_voxtral_projector_mlp(setup):
+    """proj2 (voxtral's gelu-MLP projector) changes the projection path."""
+    import jax.numpy as jnp
+
+    dims, params = setup
+    feats = jnp.ones((1, dims.downsample * 2, dims.d_audio))
+    single = qm.project_audio_tokens(params, feats, dims)
+    p2 = {
+        **params,
+        "tower": {
+            **params["tower"],
+            "proj2": {"w": jnp.eye(dims.text.hidden_size) * 2.0},
+        },
+    }
+    double = qm.project_audio_tokens(p2, feats, dims)
+    assert double.shape == single.shape
+    assert not np.allclose(np.asarray(double), np.asarray(single))

@@ -92,6 +92,10 @@ class EnergyDiarization:
 
 def load_diarization_model(config):
     backend = getattr(config, "diarization_backend", "sortformer")
+    if backend == "diart":
+        from .diart import DiartDiarization
+
+        return DiartDiarization(config)
     if backend == "sortformer":
         try:
             from .sortformer import load_sortformer

@@ -202,17 +202,23 @@ class TranscriptionEngine:
             self.asr = load_qwen3_causal(config)
             logger.info("Loaded Qwen3-ASR causal backend (append-only tower)")
         elif config.transcription and (config.backend or "").startswith("voxtral"):
-            from ..models.voxtral_backend import VoxtralASR, load_voxtral
+            if config.backend_policy in ("causal", "realtime"):
+                from ..streaming.voxtral_realtime import load_voxtral_realtime
 
-            params, vdims, tok = load_voxtral(config.model_path)
-            self.asr = VoxtralHolder(
-                VoxtralASR(
-                    params, vdims, tok,
-                    buffer_trimming=config.buffer_trimming,
-                    buffer_trimming_sec=config.buffer_trimming_sec,
+                self.asr = load_voxtral_realtime(config)
+                logger.info("Loaded Voxtral realtime backend (causal streaming)")
+            else:
+                from ..models.voxtral_backend import VoxtralASR, load_voxtral
+
+                params, vdims, tok = load_voxtral(config.model_path)
+                self.asr = VoxtralHolder(
+                    VoxtralASR(
+                        params, vdims, tok,
+                        buffer_trimming=config.buffer_trimming,
+                        buffer_trimming_sec=config.buffer_trimming_sec,
+                    )
                 )
-            )
-            logger.info("Loaded Voxtral backend (windowed streaming policy)")
+                logger.info("Loaded Voxtral backend (windowed streaming policy)")
         elif config.transcription:
             params, dims, name = load_whisper_params(config)
             if config.backend_policy in ("localagreement", "windowed"):

@@ -243,10 +243,14 @@ def _dense(x, p):
 
 def project_audio_tokens(params: Dict, feats: jnp.ndarray, dims: Qwen3ASRDims) -> jnp.ndarray:
     """Group ``downsample`` encoder frames into one audio token embedding:
-    [B, F, D] -> [B, F//downsample, text_hidden]."""
+    [B, F, D] -> [B, F//downsample, text_hidden]. One linear (qwen3) or a
+    gelu MLP when ``proj2`` is present (voxtral's multi_modal_projector)."""
     B, F, D = feats.shape
     grouped = feats.reshape(B, F // dims.downsample, dims.downsample * D)
-    return _dense(grouped, params["tower"]["proj"])
+    out = _dense(grouped, params["tower"]["proj"])
+    if "proj2" in params["tower"]:
+        out = _dense(jax.nn.gelu(out, approximate=False), params["tower"]["proj2"])
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -327,10 +331,16 @@ def decode_hypothesis(
 # ---------------------------------------------------------------------------
 
 
-def convert_hf_state_dict(sd: Dict[str, np.ndarray], dims: Qwen3ASRDims, dtype=jnp.float32) -> Dict:
+def convert_hf_state_dict(
+    sd: Dict[str, np.ndarray],
+    dims: Qwen3ASRDims,
+    dtype=jnp.float32,
+    text_prefix: str = "model.",
+) -> Dict:
     """Map a qwen3-asr HF checkpoint (audio_tower.* + model.* naming, e.g.
-    qfuxa/qwen3-asr-0.6b-streaming) into this pytree. Unmapped audio-tower
-    keys raise so silent omissions cannot ship."""
+    qfuxa/qwen3-asr-0.6b-streaming; voxtral-realtime uses
+    text_prefix="language_model.model.") into this pytree. Unmapped
+    audio-tower keys raise so silent omissions cannot ship."""
     used = set()
 
     def take(name):
@@ -377,10 +387,15 @@ def convert_hf_state_dict(sd: Dict[str, np.ndarray], dims: Qwen3ASRDims, dtype=j
         "proj": {"w": jnp.asarray(take("multi_modal_projector.linear.weight").T, dtype)},
     }
 
+    head_prefix = text_prefix[: -len("model.")]
     text = lm.convert_hf_state_dict(
-        {k: v for k, v in sd.items() if k.startswith(("model.", "lm_head."))},
+        {
+            k: v for k, v in sd.items()
+            if k.startswith((text_prefix, head_prefix + "lm_head."))
+        },
         dims.text,
         dtype=dtype,
+        prefix=text_prefix,
     )
 
     leftover = [
