@@ -214,8 +214,11 @@ def cmd_pull(argv) -> int:
     size = argv[0]
     extra = {
         "voxtral": "mistralai/Voxtral-Mini-3B-2507",
+        "voxtral-realtime": "mistralai/Voxtral-Mini-4B-Realtime-2510",
         "nllb": "facebook/nllb-200-distilled-600M",
         "nllb-1.3B": "facebook/nllb-200-distilled-1.3B",
+        "sortformer": "nvidia/diar_streaming_sortformer_4spk-v2",
+        "qwen3-causal": "qfuxa/qwen3-asr-0.6b-streaming",
     }
     repo = HF_REPOS.get(size) or extra.get(size)
     if repo is None:
