@@ -88,7 +88,7 @@ struct SessionView: View {
                                 Text(line.speaker >= 0 ? "S\(line.speaker)" : "·")
                                     .font(.caption.monospaced())
                                     .foregroundColor(.secondary)
-                                Text(line.text ?? "‹silence›")
+                                Text((line.text?.isEmpty == false) ? line.text! : "‹silence›")
                                     .textSelection(.enabled)
                             }
                             .id(line.id)

@@ -235,3 +235,67 @@ def test_voxtral_projector_mlp(setup):
     double = qm.project_audio_tokens(p2, feats, dims)
     assert double.shape == single.shape
     assert not np.allclose(np.asarray(double), np.asarray(single))
+
+
+def test_sentence_reset_commits_held_back_words(setup):
+    """A sentence boundary resets the window — but only AFTER committing the
+    held-back frontier words (their audio is unrecoverable post-reset)."""
+    dims, params = setup
+
+    class PunctTokenizer:
+        eos_id = 0
+
+        def decode(self, ids):
+            # deterministic hypothesis containing a sentence end + frontier
+            return "alpha beta. gamma delta"[: 6 + 7 * len(ids)]
+
+        def encode(self, text):
+            return []
+
+    holder = Qwen3CausalASR(
+        params, dims, tokenizer=PunctTokenizer(), window_s=30.0,
+        hold_back_words=2, max_new=8,
+    )
+    proc = Qwen3CausalProcessor(holder)
+    committed = []
+    for i in range(3):
+        proc.insert_audio_chunk(audio_seconds(1, seed=i), float(i + 1))
+        tokens, _ = proc.process_iter()
+        committed.extend(tokens)
+        if proc.blocks_this_segment == 0 and committed:
+            break  # a sentence reset happened
+    texts = [t.text.strip() for t in committed]
+    if any("." in t for t in texts):
+        # everything decoded before the reset must have been committed —
+        # including the frontier words after the punctuation
+        assert texts[-1] in ("gamma", "delta", "beta.") or len(texts) >= 3
+
+
+def test_cumulative_diarization_replaces_history():
+    """diart-style cumulative snapshots must REPLACE retained diarization
+    history in TokensAlignment, not append duplicates."""
+    import asyncio
+
+    from types import SimpleNamespace
+
+    from whisperlivekit_tpu.session.alignment import TokensAlignment
+    from whisperlivekit_tpu.session.processor import StateStore
+    from whisperlivekit_tpu.timed import SpeakerSegment
+
+    async def main():
+        store = StateStore(retention_seconds=300.0)
+        ta = TokensAlignment(store.state, SimpleNamespace(diarization=True), " ")
+        # two cumulative snapshots: second relabels + extends the first
+        await store.merge_diarization(
+            [SpeakerSegment(speaker=0, start=0.0, end=1.0)], replace=True
+        )
+        ta.update()
+        await store.merge_diarization(
+            [SpeakerSegment(speaker=1, start=0.0, end=2.0)], replace=True
+        )
+        ta.update()
+        return ta
+
+    ta = asyncio.run(main())
+    assert len(ta.all_diarization_segments) == 1
+    assert ta.all_diarization_segments[0].speaker == 1

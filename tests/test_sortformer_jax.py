@@ -252,3 +252,20 @@ def test_nemo_mel_shapes():
     mel = nemo_log_mel(audio)
     assert mel.shape[0] == 1 and mel.shape[2] == 128
     assert abs(mel.shape[1] - 100) <= 2  # ~10 ms frames over 1 s
+
+
+def test_fifo_receives_first_chunk(setup):
+    """Regression: chunk embeddings must land at fifo[0:n] on the FIRST step
+    (the pre-fix code wrote them past the static buffer and dropped them)."""
+    dims, params = setup
+    state = S.init_state(dims, 1)
+    rng = np.random.default_rng(5)
+    T = dims.left_ctx_mel_frames + dims.chunk_mel_frames
+    mel = jnp.asarray(rng.standard_normal((1, T, dims.n_mels)), jnp.float32)
+    probs, state = S.streaming_step(params, state, mel, dims,
+                                    ctx_frames=dims.left_ctx_mel_frames)
+    n = probs.shape[1]
+    fifo = np.asarray(state.fifo[0])
+    assert int(state.fifo_len[0]) == n
+    assert np.abs(fifo[:n]).max() > 0, "first chunk must enter the FIFO"
+    assert np.abs(fifo[n:]).max() == 0, "beyond fifo_len stays empty"

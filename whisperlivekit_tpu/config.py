@@ -120,7 +120,11 @@ class WLKConfig:
     max_batch_sessions: int = 96             # scheduler lane-group width cap
                                              # (auto-bounded per model scale)
     scheduler: bool = True                   # multi-session batch scheduler on/off
-    incremental_encode: bool = True          # cache encoder frames; re-encode tails only
+    # Incremental encoding trades exactness for ~3-6x encoder throughput:
+    # cached frames saw only tail-local attention + a tail-local mel floor,
+    # so inc-mode transcripts can differ slightly from full re-encode
+    # (docs/perf/README.md). --no-incremental-encode restores exact ticks.
+    incremental_encode: bool = True
     xkv_f8: bool = False                     # f8 cross-KV storage (large-model throughput)
     openai_base_url: Optional[str] = None    # backend=openai-api endpoint override
     mesh_shape: Optional[str] = None         # e.g. "data:4,model:2"; None = 1 chip

@@ -283,9 +283,16 @@ def encode_chunk(params, mel: jnp.ndarray, dims: SortformerDims) -> jnp.ndarray:
     return _dense(feats, params["proj"])
 
 
-def head_predict(params, emb: jnp.ndarray, dims: SortformerDims) -> jnp.ndarray:
+def head_predict(
+    params, emb: jnp.ndarray, dims: SortformerDims,
+    valid: Optional[jnp.ndarray] = None,  # [B, T] bool — attendable positions
+) -> jnp.ndarray:
     """192-d embeddings [B, T, d_model] → speaker probs [B, T, S]
-    (post-LN transformer + 2-layer sigmoid head)."""
+    (post-LN transformer + 2-layer sigmoid head). ``valid`` masks the
+    static-shape padding inside [spkcache | fifo | chunk] out of attention."""
+    attn_mask = None
+    if valid is not None:
+        attn_mask = jnp.where(valid, 0.0, -jnp.inf).astype(jnp.float32)[:, None, None, :]
 
     def layer(x, p):
         B, T, d = x.shape
@@ -294,7 +301,10 @@ def head_predict(params, emb: jnp.ndarray, dims: SortformerDims) -> jnp.ndarray:
         k = _dense(x, p["attn"]["k"]).reshape(B, T, dims.head_heads, dh)
         v = _dense(x, p["attn"]["v"]).reshape(B, T, dims.head_heads, dh)
         scores = jnp.einsum("bshd,bthd->bhst", q, k, preferred_element_type=jnp.float32)
-        probs = jax.nn.softmax(scores * (dh**-0.5), axis=-1)
+        scores = scores * (dh**-0.5)
+        if attn_mask is not None:
+            scores = scores + attn_mask
+        probs = jax.nn.softmax(scores, axis=-1)
         attn = jnp.einsum(
             "bhst,bthd->bshd", probs.astype(v.dtype), v, preferred_element_type=jnp.float32
         ).astype(x.dtype)
@@ -414,25 +424,43 @@ def streaming_step(
     chunk_emb = emb_all[:, drop:]
     n_chunk = chunk_emb.shape[1]
     B = mel.shape[0]
+    Lc, Lf = dims.spkcache_len, dims.fifo_len
 
+    # static-shape padding inside [cache | fifo | chunk] is masked out of the
+    # head's attention (valid = filled cache rows + filled fifo rows + chunk)
+    pos_c = jnp.arange(Lc)[None, :] < state.spkcache_len[:, None]
+    pos_f = jnp.arange(Lf)[None, :] < state.fifo_len[:, None]
+    valid = jnp.concatenate(
+        [pos_c, pos_f, jnp.ones((B, n_chunk), bool)], axis=1
+    )
     seq = jnp.concatenate([state.spkcache, state.fifo, chunk_emb], axis=1)
-    preds = head_predict(params, seq, dims)             # [B, Lc+Lf+n, S]
+    preds = head_predict(params, seq, dims, valid=valid)  # [B, Lc+Lf+n, S]
     chunk_preds = preds[:, -n_chunk:]
-    fifo_preds = preds[:, dims.spkcache_len : dims.spkcache_len + dims.fifo_len]
+    fifo_preds = preds[:, Lc : Lc + Lf]
 
-    # append chunk to FIFO; on overflow pop the oldest frames into the cache
-    cat = jnp.concatenate([state.fifo, chunk_emb], axis=1)
-    cat_preds = jnp.concatenate([fifo_preds, chunk_preds], axis=1)
+    # append the chunk AT fifo_len (valid-timeline semantics): output slot i
+    # holds valid position i+overflow of [old fifo | chunk]; the first
+    # `overflow` valid positions pop into the speaker cache
     new_len = state.fifo_len + n_chunk
-    overflow = jnp.maximum(new_len - dims.fifo_len, 0)  # [B]
-
-    idx = jnp.arange(dims.fifo_len)[None, :] + overflow[:, None]
-    fifo = jnp.take_along_axis(cat, jnp.minimum(idx, cat.shape[1] - 1)[..., None], axis=1)
+    overflow = jnp.maximum(new_len - Lf, 0)  # [B], <= n_chunk
+    src = jnp.arange(Lf)[None, :] + overflow[:, None]          # [B, Lf]
+    from_old = src < state.fifo_len[:, None]
+    old_vals = jnp.take_along_axis(
+        state.fifo, jnp.minimum(src, Lf - 1)[..., None], axis=1
+    )
+    chunk_src = jnp.clip(src - state.fifo_len[:, None], 0, n_chunk - 1)
+    chunk_vals = jnp.take_along_axis(chunk_emb, chunk_src[..., None], axis=1)
+    in_range = src < new_len[:, None]
+    fifo = jnp.where(
+        from_old[..., None], old_vals,
+        jnp.where(in_range[..., None], chunk_vals, 0.0),
+    )
 
     pop_idx = jnp.arange(n_chunk)[None, :]
     popped_valid = pop_idx < overflow[:, None]
-    popped = cat[:, :n_chunk]
-    popped_preds = cat_preds[:, :n_chunk]
+    # popped frames are the oldest valid fifo rows (slots 0..overflow)
+    popped = state.fifo[:, :n_chunk]
+    popped_preds = fifo_preds[:, :n_chunk]
 
     state = StreamingState(
         spkcache=state.spkcache,

@@ -197,6 +197,13 @@ class TranscriptionEngine:
             self.asr = CloudASRHolder(config)
             logger.info("Loaded OpenAI-compatible cloud backend (LocalAgreement)")
         elif config.transcription and (config.backend or "").startswith("qwen3"):
+            if getattr(config, "qwen3_audio_backend", "causal") == "windowed":
+                logger.warning(
+                    "qwen3 windowed re-encode mode is served by the causal "
+                    "tower on this build (the windowed policy exists for "
+                    "whisper backends via --backend-policy windowed); "
+                    "continuing with causal"
+                )
             from ..streaming.qwen3_causal import load_qwen3_causal
 
             self.asr = load_qwen3_causal(config)
@@ -313,7 +320,10 @@ class TranscriptionEngine:
 
 def online_factory(config: WLKConfig, asr, language: Optional[str] = None, scheduler=None):
     from ..streaming.qwen3_causal import Qwen3CausalASR, Qwen3CausalProcessor
+    from ..streaming.voxtral_realtime import VoxtralRealtimeASR, VoxtralRealtimeProcessor
 
+    if isinstance(asr, VoxtralRealtimeASR):  # subclass: check before the base
+        return VoxtralRealtimeProcessor(asr)
     if isinstance(asr, Qwen3CausalASR):
         return Qwen3CausalProcessor(asr)
     if isinstance(asr, VoxtralHolder):

@@ -185,11 +185,13 @@ class TestState:
 
     # ---- metrics ---------------------------------------------------------------------
 
-    def wer(self, reference: str) -> float:
-        return compute_wer(reference, self.text)["wer"]
+    def wer(self, reference: str, english: bool = False) -> float:
+        """``english=True`` applies the OpenAI EnglishTextNormalizer — the
+        methodology behind published Whisper WERs (harness/normalizers.py)."""
+        return compute_wer(reference, self.text, english=english)["wer"]
 
-    def wer_detailed(self, reference: str) -> Dict:
-        return compute_wer(reference, self.text)
+    def wer_detailed(self, reference: str, english: bool = False) -> Dict:
+        return compute_wer(reference, self.text, english=english)
 
     # ---- timing invariants -------------------------------------------------------------
 

@@ -263,7 +263,12 @@ class TokensAlignment:
         self.new_tokens = staged["new_tokens"]
         self.new_tokens_buffer = staged["new_tokens_buffer"]
         self.all_tokens.extend(staged["new_tokens"])
-        self.all_diarization_segments.extend(staged["new_diarization"])
+        if getattr(self.state, "new_diarization_replaces", False) and staged["new_diarization"]:
+            # cumulative backends (diart) re-emit the whole relabeled history
+            self.all_diarization_segments = list(staged["new_diarization"])
+            self.state.new_diarization_replaces = False
+        else:
+            self.all_diarization_segments.extend(staged["new_diarization"])
         self.all_translation_segments.extend(staged["new_translation"])
         self.new_translation_buffer = self.state.new_translation_buffer
 

@@ -175,6 +175,7 @@ class StateStore:
         async with self.lock:
             if replace:
                 self.state.new_diarization = segments
+                self.state.new_diarization_replaces = True
             else:
                 self.state.new_diarization.extend(segments)
             self.state.end_attributed_speaker = max(

@@ -99,17 +99,16 @@ def alignatt_tick_beam(
     prefix_bm = jnp.repeat(prefix, beam, axis=0)
     plen_bm = jnp.repeat(prefix_len, beam, axis=0)
 
-    prefill_logits, aprobs, cache = wm.decode(
-        params, prefix_bm, jnp.zeros((BM,), jnp.int32), xkv, cache, dims, align=align
-    )
+    # prefill with in-scan alignment reductions (see alignatt._tick_core)
     row_mask = (jnp.arange(p_max)[None, :] < plen_bm[:, None]).astype(jnp.float32)
-    ap = aprobs.transpose(1, 0, 2, 3)  # [BM,K,P,T]
-    asum = jnp.einsum("bkpt,bp->bkt", ap, row_mask)
-    asq = jnp.einsum("bkpt,bp->bkt", ap * ap, row_mask)
+    last_onehot = (
+        jnp.arange(p_max)[None, :] == (plen_bm - 1)[:, None]
+    ).astype(jnp.float32)
+    prefill_logits, (asum, asq, last_row), cache = wm.decode(
+        params, prefix_bm, jnp.zeros((BM,), jnp.int32), xkv, cache, dims,
+        align=align, align_reduce=(row_mask, last_onehot),
+    )
     acount = plen_bm.astype(jnp.float32)
-    last_row = jnp.take_along_axis(
-        ap, jnp.broadcast_to((plen_bm - 1)[:, None, None, None], (BM, 1, 1, 1)), axis=2
-    )[:, :, 0, :]
 
     no_speech_logits = jnp.take_along_axis(
         prefill_logits, jnp.repeat(sot_index, beam)[:, None, None], axis=1

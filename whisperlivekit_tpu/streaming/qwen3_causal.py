@@ -24,11 +24,15 @@ import numpy as np
 from ..audio.mel import log_mel_spectrogram
 from ..models import llama as lm
 from ..models import qwen3_asr as qm
-from ..timed import ASRToken, ChangeSpeaker, Transcript
+from ..timed import PUNCTUATION_MARKS, ASRToken, ChangeSpeaker, Transcript
 
 logger = logging.getLogger(__name__)
 
 MIN_DURATION_REAL_SILENCE = 5.0
+
+
+def _has_punct(word: str) -> bool:
+    return any(ch in PUNCTUATION_MARKS for ch in word)
 
 
 class DebugWordTokenizer:
@@ -200,6 +204,7 @@ class Qwen3CausalProcessor:
         self.buffer_tail: List[str] = []
         self._segment_committed_end = 0.0
         self.n_blocks_encoded = 0       # cumulative; tests pin encode-once
+        self._samples_appended = 0      # real (un-padded) samples this segment
         self._prime()
 
     # ---- cache lifecycle ---------------------------------------------------
@@ -232,6 +237,7 @@ class Qwen3CausalProcessor:
         self.time_base = self._appended_time()
         self.committer.reset()
         self.buffer_tail = []
+        self._samples_appended = 0
         self._prime()
 
     # ---- contract: audio in ---------------------------------------------------
@@ -241,9 +247,9 @@ class Qwen3CausalProcessor:
         self.stream_time = end_time
 
     def _appended_time(self) -> float:
-        return self.time_base + self.blocks_this_segment * (
-            self.dims.block_samples / self.SAMPLING_RATE
-        )
+        """Audio-clock time of the encoded frontier: REAL samples, so the
+        zero-pad on a final partial block never overshoots the stream clock."""
+        return self.time_base + self._samples_appended / self.SAMPLING_RATE
 
     # ---- contract: the tick ----------------------------------------------------
 
@@ -255,12 +261,14 @@ class Qwen3CausalProcessor:
         while len(self.audio_buffer) >= bs or (is_last and len(self.audio_buffer) > 0):
             block = self.audio_buffer[:bs]
             self.audio_buffer = self.audio_buffer[bs:]
-            if len(block) < bs:  # is_last: zero-pad the final partial block
-                block = np.pad(block, (0, bs - len(block)))
+            real = len(block)
+            if real < bs:  # is_last: zero-pad the final partial block
+                block = np.pad(block, (0, bs - real))
             if (self.frames_filled + self.dims.block_frames > self.dims.max_frames
                     or self._window_full()):
                 self._flush_segment()
             self._append_block(block)
+            self._samples_appended += real
             appended = True
 
         processed = self._appended_time()
@@ -268,14 +276,19 @@ class Qwen3CausalProcessor:
             return [], processed
 
         words = self._decode_words()
-        new_words, tail = self.committer.step(words, final=is_last)
+        # a sentence boundary lets the window drop everything behind it —
+        # but only after committing the whole hypothesis (the held-back
+        # frontier words' audio is gone after the reset)
+        sentence_done = (
+            not is_last
+            and self.blocks_this_segment > 1
+            and any(_has_punct(w) for w in words)
+        )
+        new_words, tail = self.committer.step(words, final=is_last or sentence_done)
         self.buffer_tail = tail
         tokens = self._timestamp(new_words, processed)
-
-        # sentence boundary: the window can drop everything behind it
-        if tokens and any(t.has_punctuation() for t in tokens) and self.blocks_this_segment > 1:
+        if sentence_done:
             self._segment_reset()
-
         return tokens, processed
 
     def _window_full(self) -> bool:

@@ -273,5 +273,8 @@ class State:
     new_tokens: List[Union[ASRToken, Silence]] = field(default_factory=list)
     new_translation: List[Any] = field(default_factory=list)
     new_diarization: List[Any] = field(default_factory=list)
+    #: True when new_diarization is a CUMULATIVE snapshot (diart-style
+    #: backends relabel history) — consumers replace instead of extend
+    new_diarization_replaces: bool = False
     new_tokens_buffer: List[Any] = field(default_factory=list)
     new_translation_buffer: TimedText = field(default_factory=TimedText)
