@@ -1,0 +1,105 @@
+"""Qwen3-ASR causal path capacity on the real chip (kernel-level).
+
+Per second of audio per lane, the causal mode costs: half of one 2 s block
+encode (append-only tower KV) + one greedy hypothesis decode (~8 tokens).
+The jitted programs are already B-lane batched; this measures packed lanes
+directly (session-level batching for causal backends is scheduler round-3
+work). 0.6b-scale dims. Writes /tmp/bench_qwen3.json.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, ".")
+
+from whisperlivekit_tpu.models import llama as lm
+from whisperlivekit_tpu.models import qwen3_asr as qm
+
+RESULTS = {"device": str(jax.devices()[0])}
+
+# qwen3-asr-0.6b scale: ~0.6b text tower + ~300M audio tower
+TEXT = lm.LlamaDims(
+    vocab_size=151936, hidden_size=1024, n_layers=28, n_heads=16, n_kv_heads=8,
+    intermediate_size=3072, head_dim=128, qk_norm=True,
+)
+DIMS = qm.Qwen3ASRDims(
+    text=TEXT, n_mels=128, d_audio=1024, audio_heads=16, audio_layers=24,
+    audio_ff=4096, downsample=4, block_frames=100, max_frames=750,  # 15 s window
+)
+HYP_TOKENS = 8  # ~4 words/s of hypothesis re-decode per tick
+
+
+def timeit(fn, iters=3):
+    s = fn()
+    float(np.asarray(s))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        s = fn()
+        float(np.asarray(s))
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    params = qm.init_params(DIMS, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    window_tokens = DIMS.max_frames // DIMS.downsample
+    cache_len = 8 + window_tokens + HYP_TOKENS + 8
+
+    best = (0.0, 0)
+    for B in (8, 16, 32, 64):
+        try:
+            mel = jnp.asarray(
+                rng.standard_normal((B, DIMS.n_mels, 2 * DIMS.block_frames)).astype(np.float32)
+            )
+            tower = qm.init_tower_cache(DIMS, B, dtype=jnp.bfloat16)
+            text = lm.init_cache(DIMS.text, B, cache_len, dtype=jnp.bfloat16)
+            start = jnp.full((B,), DIMS.block_frames, jnp.int32)
+            tpos = jnp.full((B,), 8 + DIMS.block_tokens, jnp.int32)
+            hyp = jnp.full((B, 1), 4, jnp.int32)
+            state = {"tower": tower, "text": text}
+
+            def tick():
+                tw, tx, logits = qm.append_audio_block(
+                    params, mel, state["tower"], state["text"], start, tpos, DIMS
+                )
+                toks, n, tx = qm.decode_hypothesis(
+                    params, tx, hyp, tpos + DIMS.block_tokens, 0, DIMS,
+                    max_new=HYP_TOKENS,
+                )
+                state["tower"], state["text"] = tw, tx
+                return n
+
+            dt = timeit(tick)
+            # one tick = 2 s of audio appended + one hypothesis decode;
+            # production ticks ~1/s decode + 0.5/s block -> per-second cost
+            # ~= (block/2 + decode): approximate as tick/2 + decode-share
+            streams = B * (DIMS.block_samples / 16000) / dt
+            RESULTS[f"B{B}"] = {"tick_ms": round(dt * 1e3, 1), "streams": round(streams, 1)}
+            print(f"B={B}: tick={dt*1e3:.1f} ms -> {streams:.1f} streams",
+                  file=sys.stderr, flush=True)
+            if streams > best[0]:
+                best = (streams, B)
+            del mel, tower, text, state
+        except Exception as e:
+            RESULTS[f"B{B}"] = f"FAILED {type(e).__name__}"
+            print(f"B={B}: FAILED {e}", file=sys.stderr, flush=True)
+            break
+        with open("/tmp/bench_qwen3.json", "w") as f:
+            json.dump(RESULTS, f, indent=1)
+
+    RESULTS["peak_streams"] = best[0]
+    with open("/tmp/bench_qwen3.json", "w") as f:
+        json.dump(RESULTS, f, indent=1)
+    print(json.dumps(RESULTS))
+
+
+if __name__ == "__main__":
+    main()
