@@ -75,7 +75,7 @@ def main():
                     max_new=HYP_TOKENS,
                 )
                 state["tower"], state["text"] = tw, tx
-                return n
+                return n.sum()
 
             dt = timeit(tick)
             # one tick = 2 s of audio appended + one hypothesis decode;

@@ -299,3 +299,30 @@ def test_cumulative_diarization_replaces_history():
     ta = asyncio.run(main())
     assert len(ta.all_diarization_segments) == 1
     assert ta.all_diarization_segments[0].speaker == 1
+
+
+def test_qwen3_causal_full_pipeline_e2e():
+    """Through the whole session pipeline (AudioProcessor + harness), not
+    just the processor: feed → incremental updates → finish."""
+    import asyncio
+
+    from whisperlivekit_tpu.engine.core import TranscriptionEngine
+    from whisperlivekit_tpu.harness.harness import TestHarness
+
+    TranscriptionEngine.reset()
+
+    async def main():
+        async with TestHarness(
+            backend="qwen3", backend_policy="causal",
+            model_size="random:dev-tiny", lan="en", vac=False, pcm_input=True,
+            scheduler=False, log_level="ERROR",
+        ) as h:
+            pcm = (np.clip(audio_seconds(3), -1, 1) * 32767).astype("<i2").tobytes()
+            await h.feed_pcm(pcm, speed=0)
+            await h.drain(1.0)
+            final = await h.finish(timeout=120)
+            return final
+
+    final = asyncio.run(main())
+    assert final is not None
+    TranscriptionEngine.reset()
