@@ -207,12 +207,24 @@ class TranscriptionEngine:
             from ..streaming.qwen3_causal import load_qwen3_causal
 
             self.asr = load_qwen3_causal(config)
+            if config.scheduler:
+                from ..streaming.qwen3_batch import CausalBatchService
+
+                self.scheduler = CausalBatchService(
+                    self.asr, capacity=config.max_batch_sessions
+                )
             logger.info("Loaded Qwen3-ASR causal backend (append-only tower)")
         elif config.transcription and (config.backend or "").startswith("voxtral"):
             if config.backend_policy in ("causal", "realtime"):
                 from ..streaming.voxtral_realtime import load_voxtral_realtime
 
                 self.asr = load_voxtral_realtime(config)
+                if config.scheduler:
+                    from ..streaming.qwen3_batch import CausalBatchService
+
+                    self.scheduler = CausalBatchService(
+                        self.asr, capacity=config.max_batch_sessions
+                    )
                 logger.info("Loaded Voxtral realtime backend (causal streaming)")
             else:
                 from ..models.voxtral_backend import VoxtralASR, load_voxtral
@@ -287,9 +299,31 @@ class TranscriptionEngine:
 
         if self.asr is None:
             return
-        proc = online_factory(self.config, self.asr)
+        proc = online_factory(self.config, self.asr, scheduler=self.scheduler)
         audio = np.zeros(16000, np.float32)
-        if hasattr(proc, "warmup"):
+        if getattr(proc, "process_iter_async", None) is not None and getattr(
+            proc, "service", None
+        ) is not None:
+            # pooled causal path: compile the batched op programs when we own
+            # the loop; inside a running loop (server startup) warm the
+            # local-mode programs instead — still fail-loud, and the pooled
+            # compile lands on the first session
+            import asyncio
+
+            async def _warm():
+                proc.insert_audio_chunk(audio, 1.0)
+                await proc.process_iter_async(is_last=True)
+                proc.close()
+
+            try:
+                asyncio.get_running_loop()
+            except RuntimeError:
+                asyncio.run(_warm())
+            else:
+                local = online_factory(self.config, self.asr)
+                local.insert_audio_chunk(audio, 1.0)
+                local.process_iter()
+        elif hasattr(proc, "warmup"):
             proc.warmup(audio)
         else:
             proc.insert_audio_chunk(audio, 1.0)
@@ -322,10 +356,13 @@ def online_factory(config: WLKConfig, asr, language: Optional[str] = None, sched
     from ..streaming.qwen3_causal import Qwen3CausalASR, Qwen3CausalProcessor
     from ..streaming.voxtral_realtime import VoxtralRealtimeASR, VoxtralRealtimeProcessor
 
+    causal_service = None
+    if scheduler is not None and hasattr(scheduler, "pools"):
+        causal_service = scheduler  # CausalBatchService
     if isinstance(asr, VoxtralRealtimeASR):  # subclass: check before the base
-        return VoxtralRealtimeProcessor(asr)
+        return VoxtralRealtimeProcessor(asr, service=causal_service)
     if isinstance(asr, Qwen3CausalASR):
-        return Qwen3CausalProcessor(asr)
+        return Qwen3CausalProcessor(asr, service=causal_service)
     if isinstance(asr, VoxtralHolder):
         from ..streaming.windowed import WindowedStreamingProcessor
 

@@ -193,9 +193,11 @@ class Qwen3CausalProcessor:
 
     SAMPLING_RATE = 16000
 
-    def __init__(self, holder: Qwen3CausalASR):
+    def __init__(self, holder: Qwen3CausalASR, service=None):
         self.h = holder
         self.dims = holder.dims
+        self.service = service          # CausalBatchService: pooled lane mode
+        self.lane: Optional[int] = None
         self.speaker = -1
         self.stream_time = 0.0          # audio-stream clock (insert end times)
         self.time_base = 0.0            # segment start in stream time
@@ -205,11 +207,20 @@ class Qwen3CausalProcessor:
         self._segment_committed_end = 0.0
         self.n_blocks_encoded = 0       # cumulative; tests pin encode-once
         self._samples_appended = 0      # real (un-padded) samples this segment
-        self._prime()
+        self._needs_prime = True        # caches primed lazily at the first tick
+        self.frames_filled = 0
+        self.text_pos = len(holder.prompt_ids)
+        self.blocks_this_segment = 0
+        if service is not None:
+            # async variants discovered by AudioProcessor._infer; the
+            # OpBatcher packs concurrent sessions' ops into shared programs
+            self.process_iter_async = self._process_iter_async
+            self.start_silence_async = self._start_silence_async
+            self.finish_async = self._start_silence_async
 
     # ---- cache lifecycle ---------------------------------------------------
 
-    def _prime(self) -> None:
+    def _local_prime(self) -> None:
         h = self.h
         B = 1
         self.tower_cache = qm.init_tower_cache(self.dims, B, dtype=self._dtype())
@@ -224,21 +235,35 @@ class Qwen3CausalProcessor:
             self.text_cache,
             self.dims.text,
         )
-        self.frames_filled = 0
-        self.text_pos = len(h.prompt_ids)
-        self.blocks_this_segment = 0
+
+    async def _ensure_primed(self) -> None:
+        if not self._needs_prime:
+            return
+        if self.service is not None:
+            if self.lane is None:
+                self.lane = self.service.pools.acquire()
+                if self.lane is None:
+                    raise RuntimeError("causal lane pool exhausted")
+            await self.service.prime(self.lane)
+        else:
+            self._local_prime()
+        self._needs_prime = False
 
     def _dtype(self):
         return self.h.params["text"]["tok_emb"].dtype
 
     def _segment_reset(self) -> None:
-        """Drop the audio window + caches; text continuity lives in the
-        committed transcript (constant memory for unbounded streams)."""
+        """Drop the audio window + caches (re-primed lazily at the next
+        tick); text continuity lives in the committed transcript (constant
+        memory for unbounded streams)."""
         self.time_base = self._appended_time()
         self.committer.reset()
         self.buffer_tail = []
         self._samples_appended = 0
-        self._prime()
+        self.frames_filled = 0
+        self.text_pos = len(self.h.prompt_ids)
+        self.blocks_this_segment = 0
+        self._needs_prime = True
 
     # ---- contract: audio in ---------------------------------------------------
 
@@ -254,9 +279,36 @@ class Qwen3CausalProcessor:
     # ---- contract: the tick ----------------------------------------------------
 
     def process_iter(self, is_last: bool = False) -> Tuple[List[ASRToken], float]:
-        h = self.h
-        appended = False
+        """Sync entry (local caches). The shared tick is an async coroutine
+        whose ops never actually suspend in local mode, so one send() drives
+        it to completion — the pooled path awaits the same coroutine."""
+        coro = self._tick(is_last)
+        try:
+            coro.send(None)
+        except StopIteration as done:
+            return done.value
+        coro.close()
+        raise RuntimeError(
+            "pooled causal session must run through process_iter_async"
+        )
+
+    async def _process_iter_async(self, is_last: bool = False):
+        return await self._tick(is_last)
+
+    async def _start_silence_async(self):
+        return await self._tick(True)
+
+    async def _tick(self, is_last: bool) -> Tuple[List[ASRToken], float]:
         bs = self.dims.block_samples
+        has_blocks = len(self.audio_buffer) >= bs or (
+            is_last and len(self.audio_buffer) > 0
+        )
+        if not has_blocks and (not is_last or self.blocks_this_segment == 0):
+            return (
+                getattr(self, "_pending_overflow_tokens", []) or [],
+                self._appended_time(),
+            )
+        await self._ensure_primed()
 
         while len(self.audio_buffer) >= bs or (is_last and len(self.audio_buffer) > 0):
             block = self.audio_buffer[:bs]
@@ -266,16 +318,13 @@ class Qwen3CausalProcessor:
                 block = np.pad(block, (0, bs - real))
             if (self.frames_filled + self.dims.block_frames > self.dims.max_frames
                     or self._window_full()):
-                self._flush_segment()
-            self._append_block(block)
+                await self._flush_segment()
+                await self._ensure_primed()
+            await self._op_append(block)
             self._samples_appended += real
-            appended = True
 
         processed = self._appended_time()
-        if not appended and not is_last:
-            return [], processed
-
-        words = self._decode_words()
+        words = await self._op_decode_words()
         # a sentence boundary lets the window drop everything behind it —
         # but only after committing the whole hypothesis (the held-back
         # frontier words' audio is gone after the reset)
@@ -297,40 +346,53 @@ class Qwen3CausalProcessor:
             >= self.h.window_s
         )
 
-    def _flush_segment(self) -> None:
+    async def _flush_segment(self) -> None:
         """Window overflow between sentences: commit what we have, reset."""
-        words = self._decode_words()
+        words = await self._op_decode_words()
         new_words, _ = self.committer.step(words, final=True)
         self._pending_overflow_tokens = self._timestamp(new_words, self._appended_time())
         self._segment_reset()
 
-    def _append_block(self, block: np.ndarray) -> None:
-        mel = log_mel_spectrogram(jnp.asarray(block), n_mels=self.dims.n_mels)
-        self.tower_cache, self.text_cache, _ = qm.append_audio_block(
-            self.h.params,
-            mel[None],
-            self.tower_cache,
-            self.text_cache,
-            jnp.asarray([self.frames_filled], jnp.int32),
-            jnp.asarray([self.text_pos], jnp.int32),
-            self.dims,
-        )
+    async def _op_append(self, block: np.ndarray) -> None:
+        if self.service is not None:
+            await self.service.append(
+                self.lane, block, self.frames_filled, self.text_pos
+            )
+        else:
+            mel = log_mel_spectrogram(jnp.asarray(block), n_mels=self.dims.n_mels)
+            self.tower_cache, self.text_cache, _ = qm.append_audio_block(
+                self.h.params,
+                mel[None],
+                self.tower_cache,
+                self.text_cache,
+                jnp.asarray([self.frames_filled], jnp.int32),
+                jnp.asarray([self.text_pos], jnp.int32),
+                self.dims,
+            )
         self.frames_filled += self.dims.block_frames
         self.text_pos += self.dims.block_tokens
         self.blocks_this_segment += 1
         self.n_blocks_encoded += 1
 
-    def _decode_words(self) -> List[str]:
+    async def _op_decode_words(self) -> List[str]:
         h = self.h
-        start = jnp.asarray([h.hyp_start_ids], jnp.int32)
-        toks, n, self.text_cache = qm.decode_hypothesis(
-            h.params, self.text_cache, start,
-            jnp.asarray([self.text_pos], jnp.int32),
-            h.eos_id, self.dims, max_new=h.max_new,
-        )
-        ids = [int(x) for x in np.asarray(toks[0])[: int(n[0])]]
+        if self.service is not None:
+            ids = await self.service.decode(self.lane, self.text_pos)
+        else:
+            start = jnp.asarray([h.hyp_start_ids], jnp.int32)
+            toks, n, self.text_cache = qm.decode_hypothesis(
+                h.params, self.text_cache, start,
+                jnp.asarray([self.text_pos], jnp.int32),
+                h.eos_id, self.dims, max_new=h.max_new,
+            )
+            ids = [int(x) for x in np.asarray(toks[0])[: int(n[0])]]
         text = h.tokenizer.decode(ids)
         return text.split()
+
+    def close(self) -> None:
+        if self.service is not None and self.lane is not None:
+            self.service.pools.release(self.lane)
+            self.lane = None
 
     def _timestamp(self, words: List[str], upto: float) -> List[ASRToken]:
         """Linear interpolation across the span since the last commit —
@@ -387,7 +449,10 @@ class Qwen3CausalProcessor:
             self._segment_committed_end = self.time_base
 
     def new_speaker(self, change: ChangeSpeaker) -> None:
-        self.process_iter(is_last=True)
+        if self.service is None:
+            self.process_iter(is_last=True)  # pooled: async flush not
+            # reachable from this sync event; the reset below still bounds
+            # state and the next tick re-primes
         self.audio_buffer = np.zeros(0, np.float32)
         self._segment_reset()
         self.speaker = change.speaker
