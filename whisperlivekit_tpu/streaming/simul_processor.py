@@ -145,6 +145,7 @@ class SimulStreamingOnlineProcessor:
     def _filter_stable_words(self, tokens: List[ASRToken]) -> List[ASRToken]:
         stable: List[ASRToken] = []
         last_end = self._last_committed_end
+        last_start = self._last_committed_end
         for token in tokens:
             t_start = float(token.start or 0.0)
             t_end = float(token.end or t_start)
@@ -154,8 +155,20 @@ class SimulStreamingOnlineProcessor:
                 continue
             if stable and last_end - t_end > self._INTRA_BATCH_REWIND_SECONDS:
                 continue
+            # attention frames are not strictly ordered; clamp starts
+            # monotonically so any display span over a committed run keeps
+            # start <= end (line = [first.start, last.end])
+            if t_start < last_start:
+                t_start = last_start
+                t_end = max(t_end, t_start)
+                token = ASRToken(
+                    start=round(t_start, 2), end=round(t_end, 2), text=token.text,
+                    speaker=token.speaker, detected_language=token.detected_language,
+                    probability=token.probability,
+                )
             stable.append(token)
             last_end = max(last_end, t_end)
+            last_start = max(last_start, t_start)
         return stable
 
     def _reset_after_unstable_output(self, reason: str) -> None:
