@@ -321,11 +321,20 @@ def cmd_diagnose(argv) -> int:
     logging.basicConfig(level=logging.WARNING)
 
     async def run_diagnose():
+        import numpy as _np
+
         from .harness.harness import TestHarness
 
         t0 = time.time()
+        # warm a throwaway session first so the timed run (and the RTF < 2
+        # health bar) measures inference, not first-tick XLA compilation —
+        # the engine singleton and the jit cache are shared
+        async with TestHarness(**_harness_kwargs(config)) as warm:
+            pcm = _np.zeros(16000, _np.int16).tobytes()
+            await warm.feed_pcm(pcm, speed=0)
+            await warm.finish(timeout=600)
+        load_time = time.time() - t0
         async with TestHarness(**_harness_kwargs(config)) as h:
-            load_time = time.time() - t0
             probes = []
 
             def probe(state):
