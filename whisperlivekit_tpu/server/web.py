@@ -15,9 +15,11 @@ INDEX_HTML = r"""<!doctype html>
 <meta name="viewport" content="width=device-width, initial-scale=1">
 <style>
   :root { color-scheme: light dark; --fg:#1a1a1a; --bg:#fafafa; --muted:#777;
-          --accent:#0a7cff; --line:#e4e4e4; }
+          --accent:#0a7cff; --line:#e4e4e4; --chip:#ececec; }
   @media (prefers-color-scheme: dark) {
-    :root { --fg:#eee; --bg:#111; --muted:#999; --line:#2a2a2a; } }
+    :root { --fg:#eee; --bg:#111; --muted:#999; --line:#2a2a2a; --chip:#222; } }
+  html[data-theme="dark"]  { --fg:#eee; --bg:#111; --muted:#999; --line:#2a2a2a; --chip:#222; color-scheme:dark; }
+  html[data-theme="light"] { --fg:#1a1a1a; --bg:#fafafa; --muted:#777; --line:#e4e4e4; --chip:#ececec; color-scheme:light; }
   body { font-family: system-ui, sans-serif; margin:0; background:var(--bg);
          color:var(--fg); display:flex; flex-direction:column; height:100vh; }
   header { display:flex; gap:1rem; align-items:center; padding:.8rem 1.2rem;
@@ -27,7 +29,12 @@ INDEX_HTML = r"""<!doctype html>
            padding:.55rem 1.4rem; font-size:.95rem; cursor:pointer; }
   button.recording { background:#e33; }
   #status { color:var(--muted); font-size:.85rem; }
-  #lag { color:var(--muted); font-size:.8rem; margin-left:auto; }
+  #chips { margin-left:auto; display:flex; gap:.4rem; align-items:center; }
+  .chip { background:var(--chip); color:var(--muted); font-size:.72rem;
+          border-radius:1rem; padding:.15rem .6rem; white-space:nowrap; }
+  .chip.hot { color:#e33; }
+  #theme { background:none; color:var(--muted); border:1px solid var(--line);
+           border-radius:1rem; padding:.2rem .6rem; font-size:.75rem; cursor:pointer; }
   main { flex:1; overflow-y:auto; padding:1.2rem; max-width:56rem; width:100%;
          margin:0 auto; box-sizing:border-box; }
   .line { margin:.45rem 0; line-height:1.5; }
@@ -43,15 +50,42 @@ INDEX_HTML = r"""<!doctype html>
   <h1>WhisperLiveKit-TPU</h1>
   <button id="rec">Start</button>
   <span id="status">idle</span>
-  <span id="lag"></span>
+  <span id="chips">
+    <span id="lag-proc" class="chip" hidden></span>
+    <span id="lag-policy" class="chip" hidden></span>
+    <span id="lag-diar" class="chip" hidden></span>
+    <button id="theme" title="toggle theme">◐</button>
+  </span>
 </header>
-<main><div id="lines"></div><div id="buffer"></div></main>
+<main><div id="lines"></div><div id="buffer"></div><div id="buffer2" class="silence"></div></main>
 <script>
 const btn = document.getElementById('rec');
 const statusEl = document.getElementById('status');
-const lagEl = document.getElementById('lag');
 const linesEl = document.getElementById('lines');
 const bufferEl = document.getElementById('buffer');
+const buffer2El = document.getElementById('buffer2');
+const chipProc = document.getElementById('lag-proc');
+const chipPolicy = document.getElementById('lag-policy');
+const chipDiar = document.getElementById('lag-diar');
+
+// lag-decomposition chips (reference lag chips: processing = audio received
+// minus processed; policy = processed minus committed)
+function chip(el, label, v, hotAt) {
+  if (v > 0.3) { el.hidden = false; el.textContent = label + ' ' + v.toFixed(1) + 's';
+                 el.classList.toggle('hot', v > hotAt); }
+  else el.hidden = true;
+}
+
+const themeBtn = document.getElementById('theme');
+themeBtn.onclick = () => {
+  const cur = document.documentElement.dataset.theme ||
+    (matchMedia('(prefers-color-scheme: dark)').matches ? 'dark' : 'light');
+  const next = cur === 'dark' ? 'light' : 'dark';
+  document.documentElement.dataset.theme = next;
+  localStorage.setItem('wlk-theme', next);
+};
+const saved = localStorage.getItem('wlk-theme');
+if (saved) document.documentElement.dataset.theme = saved;
 let ws = null, ctx = null, node = null, stream = null, recording = false;
 let useWorklet = true, retry = 0;
 
@@ -85,8 +119,10 @@ function render(data) {
            '<span class="t">' + l.start + '–' + l.end + '</span>' + tr + '</div>';
   }).join('');
   bufferEl.textContent = data.buffer_transcription || '';
-  const lag = data.remaining_time_transcription || 0;
-  lagEl.textContent = lag > 0.5 ? ('lag ' + lag.toFixed(1) + 's') : '';
+  buffer2El.textContent = data.buffer_diarization || data.buffer_translation || '';
+  chip(chipProc, 'processing', data.remaining_time_transcription_processing || 0, 3);
+  chip(chipPolicy, 'policy', data.remaining_time_transcription_policy || 0, 5);
+  chip(chipDiar, 'diarization', data.remaining_time_diarization || 0, 5);
   window.scrollTo(0, document.body.scrollHeight);
 }
 
