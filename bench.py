@@ -39,7 +39,8 @@ import jax.numpy as jnp
 TICK_SECONDS = 1.0       # audio consumed per tick per lane
 DECODE_STEPS = 8         # pinned decode work per tick (~ realistic token rate)
 PREFIX_BUCKET = 64
-ANCHOR_EVERY = 7.5       # ticks between full re-anchors (evict block = 7.5 s)
+ANCHOR_EVERY = 15.0      # ticks between full re-anchors (evict block = 15 s,
+                         # the production default: audio_max_len/2)
 EOT = 50257
 TS_BEGIN = 50364
 NO_SPEECH = 50362

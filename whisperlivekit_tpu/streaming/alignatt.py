@@ -76,7 +76,9 @@ class AlignAttConfig:
     enc_tail_frames: int = 384   # tail length (enc frames; 384 = 7.7 s)
     enc_rewrite_margin: int = 32 # trailing frames re-encoded every tick so a
                                  # frame freezes only after 0.64 s of right ctx
-    evict_block_s: float = 0.0   # 0 = audio_max_len/4 when enc caching is on
+    evict_block_s: float = 0.0   # 0 = audio_max_len/2 when enc caching is on
+                                 # (anchor re-encodes amortize 1-in-15 ticks;
+                                 # the window hovers 15-30 s)
     xkv_f8: bool = False         # store cross-KV in f8_e4m3 (throughput mode:
                                  # halves the dominant decode-step HBM read)
     mel_pallas: bool = False     # fused Pallas log-mel for full-window ticks
@@ -1071,7 +1073,7 @@ class AlignAttSession:
         total = self.segments_len()
         limit = self.cfg.audio_max_len
         if self.enc_pool is not None and total > limit:
-            block = self.cfg.evict_block_s or self.cfg.audio_max_len / 4
+            block = self.cfg.evict_block_s or self.cfg.audio_max_len / 2
             limit = max(self.cfg.audio_max_len - block, 1.0)
         while len(self.segments) > 1 and total > limit:
             removed = self.segments[0].shape[0] / SAMPLE_RATE
