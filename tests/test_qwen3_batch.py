@@ -87,7 +87,7 @@ def test_decode_does_not_mutate_pools(holder):
         await proc.process_iter_async()
         lane = proc.lane
         before_k = np.asarray(service.pools.text_k[:, lane])
-        await service.decode(lane, proc.text_pos)  # extra decode
+        await service.decode(proc._lane_token, proc.text_pos)  # extra decode
         after_k = np.asarray(service.pools.text_k[:, lane])
         proc.close()
         return before_k, after_k
@@ -132,3 +132,33 @@ def test_engine_wires_service():
     assert proc.service is engine.scheduler
     assert hasattr(proc, "process_iter_async")
     TranscriptionEngine.reset()
+
+
+def test_dead_session_ops_hit_scratch(holder):
+    """Ops still queued when a session closes must not touch a re-acquired
+    lane (the disconnect race): dead tokens execute against scratch."""
+    async def main():
+        service = CausalBatchService(holder, capacity=1, window_s=0.0, inline=False)
+        p1 = Qwen3CausalProcessor(holder, service=service)
+        p1.insert_audio_chunk(audio_seconds(1, seed=1), 1.0)
+        await p1.process_iter_async()
+        token = p1._lane_token
+        lane = token.lane
+        p1.close()  # token dead, lane freed
+
+        p2 = Qwen3CausalProcessor(holder, service=service)
+        p2.insert_audio_chunk(audio_seconds(1, seed=2), 1.0)
+        await p2.process_iter_async()
+        assert p2.lane == lane  # recycled
+        after_prime = np.asarray(service.pools.text_k[:, lane])
+
+        # a stale op from the dead session fires late
+        await service.append(token, audio_seconds(
+            holder.dims.block_samples / 16000, seed=9
+        )[: holder.dims.block_samples], 0, 4)
+        now = np.asarray(service.pools.text_k[:, lane])
+        p2.close()
+        return after_prime, now
+
+    before, after = asyncio.run(main())
+    np.testing.assert_array_equal(before, after)

@@ -328,9 +328,13 @@ def cmd_diagnose(argv) -> int:
         t0 = time.time()
         # warm a throwaway session first so the timed run (and the RTF < 2
         # health bar) measures inference, not first-tick XLA compilation —
-        # the engine singleton and the jit cache are shared
-        async with TestHarness(**_harness_kwargs(config)) as warm:
-            pcm = _np.zeros(16000, _np.int16).tobytes()
+        # the engine singleton and the jit cache are shared. VAD is disabled
+        # for the warm pass (pure-silence warmup audio would never open the
+        # gate and nothing would compile) and finish() forces is_last so
+        # block-based backends pad + compile too.
+        warm_kwargs = {**_harness_kwargs(config), "vac": False}
+        async with TestHarness(**warm_kwargs) as warm:
+            pcm = _np.zeros(16000 * 3, _np.int16).tobytes()
             await warm.feed_pcm(pcm, speed=0)
             await warm.finish(timeout=600)
         load_time = time.time() - t0

@@ -210,8 +210,9 @@ class TranscriptionEngine:
             if config.scheduler:
                 from ..streaming.qwen3_batch import CausalBatchService
 
+                # pooled KV is ~100 MB/lane at 0.6b scale; cap the lane count
                 self.scheduler = CausalBatchService(
-                    self.asr, capacity=config.max_batch_sessions
+                    self.asr, capacity=min(config.max_batch_sessions, 32)
                 )
             logger.info("Loaded Qwen3-ASR causal backend (append-only tower)")
         elif config.transcription and (config.backend or "").startswith("voxtral"):
@@ -223,8 +224,8 @@ class TranscriptionEngine:
                     from ..streaming.qwen3_batch import CausalBatchService
 
                     self.scheduler = CausalBatchService(
-                        self.asr, capacity=config.max_batch_sessions
-                    )
+                        self.asr, capacity=min(config.max_batch_sessions, 16)
+                    )  # 4B-scale tower: larger per-lane KV
                 logger.info("Loaded Voxtral realtime backend (causal streaming)")
             else:
                 from ..models.voxtral_backend import VoxtralASR, load_voxtral
@@ -321,8 +322,11 @@ class TranscriptionEngine:
                 asyncio.run(_warm())
             else:
                 local = online_factory(self.config, self.asr)
-                local.insert_audio_chunk(audio, 1.0)
-                local.process_iter()
+                if hasattr(local, "warmup"):
+                    local.warmup(audio)  # causal: is_last pads a full block
+                else:
+                    local.insert_audio_chunk(audio, 1.0)
+                    local.process_iter()
         elif hasattr(proc, "warmup"):
             proc.warmup(audio)
         else:

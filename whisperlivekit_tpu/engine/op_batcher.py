@@ -18,7 +18,6 @@ from __future__ import annotations
 
 import asyncio
 import logging
-import os
 from typing import Any, Callable, Dict, List, Optional
 
 logger = logging.getLogger(__name__)
@@ -28,8 +27,13 @@ class OpBatcher:
     def __init__(self, window_s: float = 0.01, inline: Optional[bool] = None):
         self.window_s = window_s
         if inline is None:
-            inline = os.environ.get("JAX_PLATFORMS", "") == "axon"
+            from ..session.processor import _inline_inference_default
+
+            inline = _inline_inference_default()
         self.inline = inline
+        # op types run on independent tasks but share mutable device state
+        # (the lane pools) and use donation — device calls must serialize
+        self._exec_lock = asyncio.Lock()
         self._runners: Dict[str, Callable[[List[Any]], List[Any]]] = {}
         self._queues: Dict[str, asyncio.Queue] = {}
         self._tasks: Dict[str, asyncio.Task] = {}
@@ -89,10 +93,11 @@ class OpBatcher:
 
             payloads = [p for p, _ in batch]
             try:
-                if self.inline:
-                    results = runner(payloads)
-                else:
-                    results = await asyncio.to_thread(runner, payloads)
+                async with self._exec_lock:
+                    if self.inline:
+                        results = runner(payloads)
+                    else:
+                        results = await asyncio.to_thread(runner, payloads)
                 self.n_batches[op] += 1
                 self.n_ops[op] += len(batch)
                 for (_, fut), res in zip(batch, results):

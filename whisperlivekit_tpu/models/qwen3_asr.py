@@ -62,6 +62,14 @@ class Qwen3ASRDims:
     def block_samples(self) -> int:
         return self.block_frames * 2 * HOP
 
+    def window_blocks(self, window_s: float) -> int:
+        """Blocks the segment policy admits before a flush (the flush check
+        fires once blocks*block_s >= window_s, before the NEXT append)."""
+        import math
+
+        block_s = self.block_samples / (16000)
+        return max(int(math.ceil(window_s / block_s)), 1)
+
 
 DEV_TINY_TEXT = lm.LlamaDims(
     vocab_size=512, hidden_size=64, n_layers=2, n_heads=4, n_kv_heads=2,
@@ -141,9 +149,14 @@ class TowerCache(NamedTuple):
     v: jnp.ndarray
 
 
-def init_tower_cache(dims: Qwen3ASRDims, batch: int, dtype=jnp.float32) -> TowerCache:
+def init_tower_cache(
+    dims: Qwen3ASRDims, batch: int, dtype=jnp.float32, frames: Optional[int] = None
+) -> TowerCache:
+    """``frames`` bounds the KV timeline (the segment policy flushes at
+    window_s, so ceil(window/block)*block_frames suffices — half the HBM of
+    the 30 s default at 15 s windows)."""
     shape = (
-        dims.audio_layers, batch, dims.max_frames,
+        dims.audio_layers, batch, frames or dims.max_frames,
         dims.audio_heads, dims.d_audio // dims.audio_heads,
     )
     return TowerCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
@@ -188,6 +201,7 @@ def encode_block(
     x = jax.nn.gelu(_conv1d(x, tw["conv2"], 2), approximate=False)
     x = x.transpose(0, 2, 1)  # [B, F, D]
 
+    T_cache = cache.k.shape[2]  # KV timeline width (<= dims.max_frames)
     pos_table = jnp.asarray(_sinusoids(dims.max_frames, dims.d_audio))
     idx = jnp.minimum(
         start_frame[:, None] + jnp.arange(F, dtype=jnp.int32)[None, :],
@@ -195,10 +209,10 @@ def encode_block(
     )
     x = x + pos_table[idx].astype(x.dtype)
 
-    write_pos = idx  # [B, F]
+    write_pos = jnp.minimum(idx, T_cache - 1)  # [B, F]
     batch_idx = jnp.arange(B, dtype=jnp.int32)[:, None]
     # keys valid iff already cached (< start) or inside this block
-    key_idx = jnp.arange(dims.max_frames, dtype=jnp.int32)[None, None, :]
+    key_idx = jnp.arange(T_cache, dtype=jnp.int32)[None, None, :]
     visible = key_idx < (start_frame + F)[:, None, None]  # [B,1,T]
     mask = jnp.where(visible, 0.0, -jnp.inf).astype(jnp.float32)
 

@@ -482,7 +482,11 @@ class TranscribeWorker(_Worker):
         await self._publish(tokens, max(upto, self.stream_clock))
 
     async def on_speaker(self, item: ChangeSpeaker) -> None:
-        self.backend.new_speaker(item)
+        # backends may flush held-back frontier words at a speaker change
+        # (causal backends return them; AlignAtt handles it internally)
+        result = await self.infer(self.backend.new_speaker, item)
+        if isinstance(result, list) and result:
+            await self._publish(result, self.store.state.end_buffer)
 
     async def _publish(self, tokens: List[ASRToken], upto: float) -> None:
         buffer = self.backend.get_buffer()

@@ -30,18 +30,35 @@ from ..models import qwen3_asr as qm
 logger = logging.getLogger(__name__)
 
 
+class LaneToken:
+    """A session's claim on a pool lane. ``alive`` flips False at close();
+    any of the session's ops still queued in the batcher then execute
+    against the scratch row instead of a possibly re-acquired lane."""
+
+    __slots__ = ("lane", "alive")
+
+    def __init__(self, lane: int):
+        self.lane = lane
+        self.alive = True
+
+
 class CausalPools:
-    """Per-lane tower + decoder KV pools. Row 0 is scratch (batch padding)."""
+    """Per-lane tower + decoder KV pools. Row 0 is scratch (batch padding).
+
+    Tower rows are sized to the segment policy's admitted window
+    (window_blocks x block_frames), not the 30 s architectural max — at 15 s
+    windows that halves the largest allocation in the engine."""
 
     SCRATCH = 0
 
     def __init__(self, dims: qm.Qwen3ASRDims, capacity: int, text_cache_len: int,
-                 dtype=jnp.float32):
+                 dtype=jnp.float32, tower_frames: int = 0):
         L, H = dims.audio_layers, dims.audio_heads
         dh = dims.d_audio // H
         C = capacity + 1
-        self.tower_k = jnp.zeros((L, C, dims.max_frames, H, dh), dtype)
-        self.tower_v = jnp.zeros((L, C, dims.max_frames, H, dh), dtype)
+        frames = min(tower_frames or dims.max_frames, dims.max_frames)
+        self.tower_k = jnp.zeros((L, C, frames, H, dh), dtype)
+        self.tower_v = jnp.zeros((L, C, frames, H, dh), dtype)
         t = dims.text
         shape = (t.n_layers, C, text_cache_len, t.n_kv_heads, t.head_dim)
         self.text_k = jnp.zeros(shape, dtype)
@@ -128,23 +145,29 @@ class CausalBatchService:
         self.holder = holder
         self.dims = holder.dims
         dtype = holder.params["text"]["tok_emb"].dtype
-        self.pools = CausalPools(self.dims, capacity, holder.text_cache_len, dtype)
+        blocks = self.dims.window_blocks(holder.window_s)
+        self.pools = CausalPools(
+            self.dims, capacity, holder.text_cache_len, dtype,
+            tower_frames=(blocks + 1) * self.dims.block_frames,
+        )
         self.batcher = OpBatcher(window_s=window_s, inline=inline)
         self.batcher.register("prime", self._run_prime)
         self.batcher.register("append", self._run_append)
         self.batcher.register("decode", self._run_decode)
 
-    # -- async session-facing ops ------------------------------------------------
+    # -- async session-facing ops. Each payload carries the session's lane
+    # TOKEN: a disconnect can leave ops queued after the worker task is
+    # cancelled, and the lane may be re-acquired — dead ops must not touch it.
 
-    async def prime(self, lane: int) -> None:
-        await self.batcher.submit("prime", lane)
+    async def prime(self, token: "LaneToken") -> None:
+        await self.batcher.submit("prime", token)
 
-    async def append(self, lane: int, mel: np.ndarray, start_frame: int,
-                     text_pos: int) -> None:
-        await self.batcher.submit("append", (lane, mel, start_frame, text_pos))
+    async def append(self, token: "LaneToken", block: np.ndarray,
+                     start_frame: int, text_pos: int) -> None:
+        await self.batcher.submit("append", (token, block, start_frame, text_pos))
 
-    async def decode(self, lane: int, text_pos: int) -> List[int]:
-        return await self.batcher.submit("decode", (lane, text_pos))
+    async def decode(self, token: "LaneToken", text_pos: int) -> List[int]:
+        return await self.batcher.submit("decode", (token, text_pos))
 
     def stats(self) -> dict:
         return self.batcher.stats()
@@ -155,7 +178,8 @@ class CausalBatchService:
     def _pad(n: int) -> int:
         return 1 << (n - 1).bit_length()
 
-    def _run_prime(self, lanes: List[int]) -> List[None]:
+    def _run_prime(self, tokens: List["LaneToken"]) -> List[None]:
+        lanes = [t.lane if t.alive else CausalPools.SCRATCH for t in tokens]
         B = self._pad(len(lanes))
         lane_arr = np.full(B, CausalPools.SCRATCH, np.int32)
         lane_arr[: len(lanes)] = lanes
@@ -175,8 +199,10 @@ class CausalBatchService:
         start = np.zeros(B, np.int32)
         tpos = np.zeros(B, np.int32)
         active = np.zeros(B, bool)
-        for i, (lane, block, sf, tp) in enumerate(items):
-            lanes[i], start[i], tpos[i], active[i] = lane, sf, tp, True
+        for i, (token, block, sf, tp) in enumerate(items):
+            alive = token.alive
+            lanes[i] = token.lane if alive else CausalPools.SCRATCH
+            start[i], tpos[i], active[i] = sf, tp, alive
             audio[i] = block
         p = self.pools
         p.tower_k, p.tower_v, p.text_k, p.text_v = _append_pooled(
@@ -191,8 +217,9 @@ class CausalBatchService:
         B = self._pad(len(items))
         lanes = np.full(B, CausalPools.SCRATCH, np.int32)
         tpos = np.zeros(B, np.int32)
-        for i, (lane, tp) in enumerate(items):
-            lanes[i], tpos[i] = lane, tp
+        for i, (token, tp) in enumerate(items):
+            lanes[i] = token.lane if token.alive else CausalPools.SCRATCH
+            tpos[i] = tp
         start = np.tile(np.asarray(h.hyp_start_ids, np.int32), (B, 1))
         toks, n = _decode_pooled(
             h.params, self.pools.text_k, self.pools.text_v,

@@ -78,9 +78,12 @@ class Qwen3CausalASR:
         self.window_s = window_s
         self.hold_back_words = hold_back_words
         self.max_new = max_new
-        # decoder cache sized for prompt + full audio window + hypothesis
-        window_tokens = int(window_s * 50 / dims.downsample)
-        self.text_cache_len = len(self.prompt_ids) + window_tokens + len(self.hyp_start_ids) + max_new + 8
+        # decoder cache sized for prompt + every ADMITTED audio block
+        # (the flush policy admits ceil(window/block) blocks) + hypothesis
+        window_tokens = dims.window_blocks(window_s) * dims.block_tokens
+        self.text_cache_len = (
+            len(self.prompt_ids) + window_tokens + len(self.hyp_start_ids) + max_new + 8
+        )
 
 
 def load_qwen3_causal(config) -> "Qwen3CausalASR":
@@ -197,7 +200,7 @@ class Qwen3CausalProcessor:
         self.h = holder
         self.dims = holder.dims
         self.service = service          # CausalBatchService: pooled lane mode
-        self.lane: Optional[int] = None
+        self._lane_token = None         # LaneToken while a pool lane is held
         self.speaker = -1
         self.stream_time = 0.0          # audio-stream clock (insert end times)
         self.time_base = 0.0            # segment start in stream time
@@ -217,6 +220,7 @@ class Qwen3CausalProcessor:
             self.process_iter_async = self._process_iter_async
             self.start_silence_async = self._start_silence_async
             self.finish_async = self._start_silence_async
+            self.new_speaker_async = self._new_speaker_async
 
     # ---- cache lifecycle ---------------------------------------------------
 
@@ -240,11 +244,14 @@ class Qwen3CausalProcessor:
         if not self._needs_prime:
             return
         if self.service is not None:
-            if self.lane is None:
-                self.lane = self.service.pools.acquire()
-                if self.lane is None:
+            if self._lane_token is None:
+                lane = self.service.pools.acquire()
+                if lane is None:
                     raise RuntimeError("causal lane pool exhausted")
-            await self.service.prime(self.lane)
+                from .qwen3_batch import LaneToken
+
+                self._lane_token = LaneToken(lane)
+            await self.service.prime(self._lane_token)
         else:
             self._local_prime()
         self._needs_prime = False
@@ -304,10 +311,9 @@ class Qwen3CausalProcessor:
             is_last and len(self.audio_buffer) > 0
         )
         if not has_blocks and (not is_last or self.blocks_this_segment == 0):
-            return (
-                getattr(self, "_pending_overflow_tokens", []) or [],
-                self._appended_time(),
-            )
+            pending = getattr(self, "_pending_overflow_tokens", []) or []
+            self._pending_overflow_tokens = []
+            return pending, self._appended_time()
         await self._ensure_primed()
 
         while len(self.audio_buffer) >= bs or (is_last and len(self.audio_buffer) > 0):
@@ -356,7 +362,7 @@ class Qwen3CausalProcessor:
     async def _op_append(self, block: np.ndarray) -> None:
         if self.service is not None:
             await self.service.append(
-                self.lane, block, self.frames_filled, self.text_pos
+                self._lane_token, block, self.frames_filled, self.text_pos
             )
         else:
             mel = log_mel_spectrogram(jnp.asarray(block), n_mels=self.dims.n_mels)
@@ -377,7 +383,7 @@ class Qwen3CausalProcessor:
     async def _op_decode_words(self) -> List[str]:
         h = self.h
         if self.service is not None:
-            ids = await self.service.decode(self.lane, self.text_pos)
+            ids = await self.service.decode(self._lane_token, self.text_pos)
         else:
             start = jnp.asarray([h.hyp_start_ids], jnp.int32)
             toks, n, self.text_cache = qm.decode_hypothesis(
@@ -390,9 +396,16 @@ class Qwen3CausalProcessor:
         return text.split()
 
     def close(self) -> None:
-        if self.service is not None and self.lane is not None:
-            self.service.pools.release(self.lane)
-            self.lane = None
+        if self.service is not None and self._lane_token is not None:
+            # mark dead FIRST: ops still queued for this session execute
+            # against the scratch row, never a re-acquired lane
+            self._lane_token.alive = False
+            self.service.pools.release(self._lane_token.lane)
+            self._lane_token = None
+
+    @property
+    def lane(self) -> Optional[int]:
+        return self._lane_token.lane if self._lane_token else None
 
     def _timestamp(self, words: List[str], upto: float) -> List[ASRToken]:
         """Linear interpolation across the span since the last commit —
@@ -448,11 +461,22 @@ class Qwen3CausalProcessor:
             self.time_base = duration + offset
             self._segment_committed_end = self.time_base
 
-    def new_speaker(self, change: ChangeSpeaker) -> None:
+    async def _new_speaker_async(self, change: ChangeSpeaker):
+        """Pooled path: flush the frontier BEFORE the reset (the sync entry
+        cannot await; the worker discovers this variant and publishes the
+        returned tokens)."""
+        tokens, _ = await self._tick(True)
+        self._reset_for_speaker(change)
+        return tokens
+
+    def new_speaker(self, change: ChangeSpeaker):
+        tokens: List[ASRToken] = []
         if self.service is None:
-            self.process_iter(is_last=True)  # pooled: async flush not
-            # reachable from this sync event; the reset below still bounds
-            # state and the next tick re-primes
+            tokens, _ = self.process_iter(is_last=True)
+        self._reset_for_speaker(change)
+        return tokens
+
+    def _reset_for_speaker(self, change: ChangeSpeaker) -> None:
         self.audio_buffer = np.zeros(0, np.float32)
         self._segment_reset()
         self.speaker = change.speaker
@@ -463,5 +487,7 @@ class Qwen3CausalProcessor:
         return self.process_iter(is_last=True)
 
     def warmup(self, audio: np.ndarray) -> None:
+        """is_last pads a partial block, so even sub-block warmup audio
+        compiles the full append + decode programs (fail-loud at startup)."""
         self.insert_audio_chunk(audio, len(audio) / self.SAMPLING_RATE)
-        self.process_iter()
+        self.process_iter(is_last=True)
