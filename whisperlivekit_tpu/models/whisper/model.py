@@ -34,6 +34,13 @@ from .dims import ModelDimensions
 
 Params = Dict[str, jnp.ndarray]
 
+#: lax.scan unroll factors for the layer loops — unrolling lets XLA overlap
+#: one layer's weight/cross-KV HBM streaming with the previous layer's
+#: compute (the decode step measured ~2x its bandwidth floor without it).
+#: Module-level so perf scripts can sweep them before tracing.
+ENCODER_SCAN_UNROLL = 1
+DECODER_SCAN_UNROLL = 1
+
 
 # ---------------------------------------------------------------------------
 # Parameter initialization (tests / benchmarks; real weights come from load.py)
@@ -273,7 +280,7 @@ def encode(
         x = x + dense(h, bp["mlp"]["fc2"])
         return x, None
 
-    x, _ = jax.lax.scan(block, x, p["blocks"])
+    x, _ = jax.lax.scan(block, x, p["blocks"], unroll=ENCODER_SCAN_UNROLL)
     return layer_norm(x, p["ln_post"])
 
 
@@ -452,6 +459,7 @@ def decode(
         block,
         (x, align_acc, jnp.int32(0)),
         (params["decoder"]["blocks"], cache.k, cache.v, xkv.k, xkv.v),
+        unroll=DECODER_SCAN_UNROLL,
     )
 
     x = layer_norm(x, dec["ln"])
