@@ -205,3 +205,45 @@ def test_openai_format_roundtrip(tmp_path, setup):
     out1 = np.asarray(M.encode(params, mel_j, dims))
     out2 = np.asarray(M.encode(params2, mel_j, dims2))
     np.testing.assert_allclose(out1, out2, rtol=1e-5, atol=1e-5)
+
+def test_transposed_xkv_equivalence(setup):
+    """xkv_transposed ([B,H,Dh,T], the decode fast path) matches the default
+    layout for both prefill (S>1, align_reduce) and S=1 steps."""
+    hf, dims, params, mel = setup
+    tokens = np.array([[5, 17, 42, 99], [1, 2, 3, 4]], dtype=np.int32)
+    enc = M.encode(params, jnp.asarray(mel), dims)
+    align = M.AlignSpec.from_pairs([(0, 1), (1, 0), (1, 3)])
+
+    xkv = M.cross_kv(params, enc, dims)
+    xkv_t = M.cross_kv(params, enc, dims, transposed=True)
+    assert xkv_t.k.shape == (
+        dims.n_text_layer, 2, dims.n_text_head, dims.head_dim, enc.shape[1]
+    )
+
+    # prefill with align reductions (the tick prefill path)
+    plen = jnp.asarray([4, 3], jnp.int32)
+    row_mask = (jnp.arange(4)[None, :] < plen[:, None]).astype(jnp.float32)
+    last_onehot = (jnp.arange(4)[None, :] == (plen - 1)[:, None]).astype(jnp.float32)
+    lg0, (a0, q0, l0), c0 = M.decode(
+        params, jnp.asarray(tokens), jnp.zeros(2, jnp.int32), xkv,
+        M.init_cache(dims, 2), dims, align=align,
+        align_reduce=(row_mask, last_onehot),
+    )
+    lg1, (a1, q1, l1), c1 = M.decode(
+        params, jnp.asarray(tokens), jnp.zeros(2, jnp.int32), xkv_t,
+        M.init_cache(dims, 2), dims, align=align,
+        align_reduce=(row_mask, last_onehot), xkv_transposed=True,
+    )
+    np.testing.assert_allclose(np.asarray(lg0), np.asarray(lg1), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(a0), np.asarray(a1), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(l0), np.asarray(l1), rtol=1e-5, atol=1e-6)
+
+    # one S=1 decode step from the prefilled caches
+    step = jnp.asarray([[7], [9]], jnp.int32)
+    pos = jnp.asarray([4, 4], jnp.int32)
+    s_lg0, s_ap0, _ = M.decode(params, step, pos, xkv, c0, dims, align=align)
+    s_lg1, s_ap1, _ = M.decode(
+        params, step, pos, xkv_t, c1, dims, align=align, xkv_transposed=True
+    )
+    np.testing.assert_allclose(np.asarray(s_lg0), np.asarray(s_lg1), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(s_ap0), np.asarray(s_ap1), rtol=1e-5, atol=1e-6)

@@ -186,6 +186,23 @@ def _attend(q, k, v, mask=None):
     return out.astype(v.dtype), probs
 
 
+def _attend_t(q, k, v, mask=None):
+    """Attention over *transposed* KV storage [B,H,Dh,T] (T on lanes).
+
+    q: [B,S,H,Dh] -> ([B,S,H,Dh], probs [B,H,S,T]). Serves both the S=1
+    decode step (where the layout is 2.5x faster than the default — see
+    cross_kv docstring) and the prefill over the same buffers.
+    """
+    dh = q.shape[-1]
+    scores = jnp.einsum("bshd,bhdt->bhst", q, k, preferred_element_type=jnp.float32)
+    scores = scores * (dh**-0.5)
+    if mask is not None:
+        scores = scores + mask[:, None, :, :]
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bhst,bhdt->bshd", probs.astype(v.dtype), v, preferred_element_type=jnp.float32)
+    return out.astype(v.dtype), probs
+
+
 def _attend_chunked(q, k, v, chunk: int = 256):
     """Flash-style online-softmax attention scanned over query chunks.
 
@@ -317,16 +334,30 @@ def init_cache(
 
 
 def cross_kv(
-    params: Params, enc: jnp.ndarray, dims: ModelDimensions, out_dtype=None
+    params: Params,
+    enc: jnp.ndarray,
+    dims: ModelDimensions,
+    out_dtype=None,
+    transposed: bool = False,
 ) -> CrossKV:
     """``out_dtype`` (e.g. f8_e4m3) casts per layer INSIDE the scan so the
     full-width tensor never materializes — at large-v3 x B=32 the bf16
-    transient alone is ~8 GB."""
+    transient alone is ~8 GB.
+
+    ``transposed`` stores per-layer K/V as [B, H, Dh, T] (T on lanes): no
+    (·,64)-minor tile padding, contiguous per-head streams, and clean
+    MXU-shaped contractions for the S=1 decode step. Measured 6.0 ms/step
+    vs 11.9 (f8+cast) / 15.0 (default layout) at large-v3 B=16 on v5e
+    (scripts/probe_xattn_tpu.py; a hand-written Pallas kernel lost to this
+    XLA path — small-matmul issue latency — and was dropped)."""
     n_head = dims.n_text_head
 
     def per_layer(_, bp):
         k = _split_heads(dense(enc, bp["cross"]["k"]), n_head)
         v = _split_heads(dense(enc, bp["cross"]["v"]), n_head)
+        if transposed:
+            k = k.transpose(0, 2, 3, 1)  # [B,H,Dh,T]
+            v = v.transpose(0, 2, 3, 1)
         if out_dtype is not None:
             k = k.astype(out_dtype)
             v = v.astype(out_dtype)
@@ -362,6 +393,7 @@ def decode(
     align: Optional[AlignSpec] = None,
     enc_mask: Optional[jnp.ndarray] = None,  # [B, T_enc] bool — valid frames
     align_reduce: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+    xkv_transposed: bool = False,
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray], KVCache]:
     """Teacher-forced step over S new tokens for every lane.
 
@@ -374,6 +406,11 @@ def decode(
     instead of materializing [K,B,S,T]: at prefill width the full buffer
     costs ~2x its size in HBM traffic per layer, which dominates large-model
     prefill (the gate only ever consumes these three reductions).
+
+    ``xkv_transposed`` declares the [B,H,Dh,T] cross-KV layout (see
+    cross_kv) and routes cross-attention through ``_attend_t``. This is the
+    decode-loop fast path: 6.0 ms/step vs 11.9 (f8+cast) / 15.0 (bf16
+    default layout) at large-v3 B=16 on v5e (scripts/probe_xattn_tpu.py).
     """
     dec = params["decoder"]
     B, S = tokens.shape
@@ -396,7 +433,7 @@ def decode(
 
     batch_idx = jnp.arange(B, dtype=jnp.int32)[:, None]  # [B,1]
 
-    T_enc = xkv.k.shape[2]
+    T_enc = xkv.k.shape[-1] if xkv_transposed else xkv.k.shape[2]
     if align is not None and align_reduce is not None:
         align_acc = (
             jnp.zeros((B, align.count, T_enc), jnp.float32),
@@ -425,12 +462,17 @@ def decode(
         # -- cross attention over encoder features --
         h = layer_norm(x, bp["cross_ln"])
         qx = _split_heads(dense(h, bp["cross"]["q"]), n_head)
-        # cross-KV may be stored narrow (f8) to halve the per-step HBM read
-        # (32 layers x [B,1500,H,Dh] x2 dominates decode-step time at
-        # large-v3); the cast happens per layer inside the scan.
-        xk = xk.astype(x.dtype)
-        xv = xv.astype(x.dtype)
-        xattn, xprobs = _attend(qx, xk, xv, mask=cross_mask)  # xprobs [B,H,S,T]
+        if xkv_transposed:
+            xk = xk.astype(x.dtype)
+            xv = xv.astype(x.dtype)
+            xattn, xprobs = _attend_t(qx, xk, xv, mask=cross_mask)
+        else:
+            # cross-KV may be stored narrow (f8) to halve the per-step HBM
+            # read (32 layers x [B,1500,H,Dh] x2 dominates decode-step time
+            # at large-v3); the cast happens per layer inside the scan.
+            xk = xk.astype(x.dtype)
+            xv = xv.astype(x.dtype)
+            xattn, xprobs = _attend(qx, xk, xv, mask=cross_mask)  # xprobs [B,H,S,T]
         x = x + dense(_merge_heads(xattn), bp["cross"]["o"])
 
         if align_acc is not None:

@@ -79,8 +79,13 @@ class AlignAttConfig:
     evict_block_s: float = 0.0   # 0 = audio_max_len/2 when enc caching is on
                                  # (anchor re-encodes amortize 1-in-15 ticks;
                                  # the window hovers 15-30 s)
-    xkv_f8: bool = False         # store cross-KV in f8_e4m3 (throughput mode:
-                                 # halves the dominant decode-step HBM read)
+    xkv_f8: bool = False         # store cross-KV in f8_e4m3 (memory mode:
+                                 # halves cross-KV HBM footprint; SLOWER than
+                                 # xkv_transposed on v5e — the per-layer cast
+                                 # materializes a bf16 copy)
+    xkv_transposed: bool = True  # [B,H,Dh,T] cross-KV layout: decode step
+                                 # 6.0 vs 15.0 ms (B=16 large-v3 v5e) with
+                                 # exact bf16 numerics; scripts/probe_xattn_tpu.py
     mel_pallas: bool = False     # fused Pallas log-mel for full-window ticks
                                  # (wins at B>=32 on v5e: docs/perf/mel_ab_v5e.json)
 
@@ -235,6 +240,7 @@ def _tick_core(
     space_tok: int,
     use_cif: bool = False,
     xkv_f8: bool = False,
+    xkv_transposed: bool = True,
 ):
     """The decode phase of one streaming tick (everything after encoding)."""
     B = enc.shape[0]
@@ -265,11 +271,15 @@ def _tick_core(
         fire = has_any & (first_pos >= content_frames - 2)
     else:
         fire = jnp.ones((B,), bool)
-    # f8 cross-KV storage (per-layer cast inside the scan; storage only —
-    # the decode scan casts back per layer): halves the dominant per-step
-    # HBM read at large models and avoids the full-width bf16 transient
+    # xkv_transposed ([B,H,Dh,T], T on lanes) is the decode-loop fast path:
+    # no tile padding, no operand transposes — 2.5x faster steps than the
+    # default layout with exact bf16 numerics. xkv_f8 (per-layer f8 cast,
+    # storage only) halves the HBM *footprint* when memory is the binding
+    # constraint, at the price of a per-layer bf16 materialization.
     xkv = wm.cross_kv(
-        params, enc, dims, out_dtype=jnp.float8_e4m3fn if xkv_f8 else None
+        params, enc, dims,
+        out_dtype=jnp.float8_e4m3fn if xkv_f8 else None,
+        transposed=xkv_transposed,
     )
     cache = wm.init_cache(
         dims, B, dtype=params["decoder"]["tok_emb"].dtype,
@@ -286,6 +296,7 @@ def _tick_core(
     prefill_logits, (asum, asq, last_row), cache = wm.decode(
         params, prefix, jnp.zeros((B,), jnp.int32), xkv, cache, dims,
         align=align, align_reduce=(row_mask, last_onehot),
+        xkv_transposed=xkv_transposed,
     )
     acount = prefix_len.astype(jnp.float32)
 
@@ -405,6 +416,7 @@ def _tick_core(
             s["cache"],
             dims,
             align=align,
+            xkv_transposed=xkv_transposed,
         )
         step_row = step_aprobs.transpose(1, 0, 2, 3)[:, :, 0, :]  # [B,K,T]
         upd = active.astype(jnp.float32)[:, None, None]
@@ -449,7 +461,7 @@ def _tick_core(
 
 _TICK_STATICS = (
     "dims", "p_max", "max_steps", "eot", "ts_begin", "no_speech_tok",
-    "space_tok", "use_cif", "xkv_f8", "mel_pallas",
+    "space_tok", "use_cif", "xkv_f8", "xkv_transposed", "mel_pallas",
 )
 
 @partial(jax.jit, static_argnames=_TICK_STATICS)
@@ -459,7 +471,7 @@ def alignatt_tick(
     max_new, suppress_mask, align_layers, align_heads, frame_threshold,
     rewind_threshold, nonspeech_prob, active_in, cif_w, cif_b,
     dims, p_max, max_steps, eot, ts_begin, no_speech_tok, space_tok,
-    use_cif=False, xkv_f8=False, mel_pallas=False,
+    use_cif=False, xkv_f8=False, xkv_transposed=True, mel_pallas=False,
 ):
     """One streaming tick for B lanes from raw audio [B, N_SAMPLES].
 
@@ -471,7 +483,7 @@ def alignatt_tick(
         last_attend, is_last, max_new, suppress_mask, align_layers,
         align_heads, frame_threshold, rewind_threshold, nonspeech_prob,
         active_in, cif_w, cif_b, dims, p_max, max_steps, eot, ts_begin,
-        no_speech_tok, space_tok, use_cif, xkv_f8,
+        no_speech_tok, space_tok, use_cif, xkv_f8, xkv_transposed,
     )
 
 
@@ -482,7 +494,7 @@ def alignatt_tick_anchor(
     max_new, suppress_mask, align_layers, align_heads, frame_threshold,
     rewind_threshold, nonspeech_prob, active_in, cif_w, cif_b,
     dims, p_max, max_steps, eot, ts_begin, no_speech_tok, space_tok,
-    use_cif=False, xkv_f8=False, mel_pallas=False,
+    use_cif=False, xkv_f8=False, xkv_transposed=True, mel_pallas=False,
 ):
     """Full-window tick that also re-anchors the per-lane encoder cache:
     the freshly computed enc rows are written into ``enc_pool`` at
@@ -496,7 +508,7 @@ def alignatt_tick_anchor(
         last_attend, is_last, max_new, suppress_mask, align_layers,
         align_heads, frame_threshold, rewind_threshold, nonspeech_prob,
         active_in, cif_w, cif_b, dims, p_max, max_steps, eot, ts_begin,
-        no_speech_tok, space_tok, use_cif, xkv_f8,
+        no_speech_tok, space_tok, use_cif, xkv_f8, xkv_transposed,
     )
     return outs + (enc_pool,)
 
@@ -521,6 +533,7 @@ def alignatt_tick_inc(
     dims, p_max, max_steps, eot, ts_begin, no_speech_tok, space_tok,
     use_cif=False,
     xkv_f8=False,
+    xkv_transposed=True,
     mel_pallas=False,  # accepted for statics symmetry; tails stay on XLA mel
     tail_frames: int = 384,
 ):
@@ -573,7 +586,7 @@ def alignatt_tick_inc(
         content_frames, last_attend, is_last, max_new, suppress_mask,
         align_layers, align_heads, frame_threshold, rewind_threshold,
         nonspeech_prob, active_in, cif_w, cif_b, dims, p_max, max_steps, eot,
-        ts_begin, no_speech_tok, space_tok, use_cif, xkv_f8,
+        ts_begin, no_speech_tok, space_tok, use_cif, xkv_f8, xkv_transposed,
     )
     return outs + (enc_pool,)
 
@@ -778,6 +791,7 @@ def _core_device_args(engine, arr, tokenizer, p_max: int):
         space_tok=tokenizer.encode(" ")[0],
         use_cif=engine.use_cif,
         xkv_f8=cfg.xkv_f8,
+        xkv_transposed=getattr(cfg, "xkv_transposed", True),
         mel_pallas=getattr(cfg, "mel_pallas", False),
     )
     return args, statics
