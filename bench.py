@@ -47,10 +47,12 @@ NO_SPEECH = 50362
 SPACE = 220
 
 # (model, lane-group widths, tail frames, f8 cross-KV, is_headline)
+# large-v3 runs the transposed bf16 cross-KV layout (xkv_transposed default)
+# — measured faster than f8 storage on v5e AND exact (docs/perf/README.md).
 SWEEP = [
     ("base", (64, 96), 384, False, False),
     ("large-v3-turbo", (32, 64), 384, False, False),
-    ("large-v3", (16, 24), 256, True, True),
+    ("large-v3", (24, 28, 32), 256, False, True),
 ]
 
 

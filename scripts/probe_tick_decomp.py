@@ -77,7 +77,9 @@ def main():
         fresh = jnp.take_along_axis(enc_tail.astype(enc_pool.dtype), src[:, :, None], axis=1)
         in_write = (t_idx >= write_start[:, None]) & (t_idx < win[:, None])
         enc_rows = jnp.where(in_write[:, :, None], fresh, cached)
-        return enc_rows.astype(jnp.bfloat16), enc_pool.at[enc_lanes].set(enc_rows)
+        # scalar probe output: the axon tunnel moves ~18 MB/s, so returning
+        # enc_rows for host readback would swamp the timing with transfer
+        return enc_rows.astype(jnp.float32).sum(), enc_pool.at[enc_lanes].set(enc_rows)
 
     # ---- stage 2: + cross_kv (transposed) ----
     @jax.jit
@@ -97,10 +99,10 @@ def main():
             params, prefix, jnp.zeros((B,), jnp.int32), xkv, cache, dims,
             align=align, align_reduce=(row_mask, last1), xkv_transposed=True,
         )
-        return lg[:, -1], cache
+        return lg[:, -1].sum(), cache
 
     # ---- full tick for reference ----
-    state = {"enc_pool": enc_pool}
+    state = {"enc_pool": jnp.zeros_like(enc_pool)}
 
     def full_tick():
         out = A.alignatt_tick_inc(
@@ -110,19 +112,42 @@ def main():
         state["enc_pool"] = out[-1]
         return out[1]
 
-    ep = {"p": enc_pool}
+    ep = {"p": jnp.zeros_like(enc_pool)}
 
     def run_front():
         enc_rows, ep["p"] = front(params, audio_pool, ep["p"])
         return enc_rows
 
-    t_front = timeit(run_front)
-    enc_rows, _ = front(params, audio_pool, jnp.zeros_like(ep["p"]))
-
-    t_xkv = timeit(lambda: to_xkv(params, enc_rows))
-    xkv = to_xkv(params, enc_rows)
-    t_prefill = timeit(lambda: prefill(params, xkv))
     t_full = timeit(full_tick, iters=3)
+    del state  # free the tick's pools before staging buffers go live
+
+    t_front = timeit(run_front)
+
+    @partial(jax.jit, static_argnames=("tail_frames",))
+    def front_rows(params, audio_pool, enc_pool, tail_frames=TAIL):
+        # enc_rows for the staged xkv/prefill probes (no donation, no sum)
+        S_tail = (tail_frames + 1) * 320
+        rows = audio_pool[lanes]
+        samp_idx = tail_start[:, None] * 320 + jnp.arange(S_tail, dtype=jnp.int32)[None, :]
+        tail = jnp.take_along_axis(rows, jnp.minimum(samp_idx, rows.shape[1] - 1), axis=1)
+        tail = jnp.where(samp_idx < rows.shape[1], tail, 0).astype(jnp.float32) / 32768.0
+        mel = log_mel_spectrogram(tail, n_mels=dims.n_mels, precision=jax.lax.Precision.DEFAULT)
+        mel = pad_or_trim(mel, 2 * tail_frames)
+        enc_tail = wm.encode(params, mel, dims, pos_start=tail_start)
+        cached = enc_pool[enc_lanes]
+        t_idx = jnp.arange(dims.n_audio_ctx, dtype=jnp.int32)[None, :]
+        src = jnp.clip(t_idx - tail_start[:, None], 0, tail_frames - 1)
+        fresh = jnp.take_along_axis(enc_tail.astype(enc_pool.dtype), src[:, :, None], axis=1)
+        in_write = (t_idx >= write_start[:, None]) & (t_idx < win[:, None])
+        return jnp.where(in_write[:, :, None], fresh, cached).astype(jnp.bfloat16)
+
+    enc_rows = front_rows(params, audio_pool, ep["p"])
+
+    t_xkv = timeit(lambda: to_xkv(params, enc_rows)[0][:1, :1, :1, :1, :1])
+    RESULTS["xkv_standalone_ms"] = round((t_xkv) * 1e3, 1)
+    xkv = to_xkv(params, enc_rows)
+    t_prefill = timeit(lambda: prefill(params, xkv)[0])
+    del xkv
 
     # dispatch+readback constant: measure a no-op jit
     noop = jax.jit(lambda x: x[0, :1] + 1)

@@ -25,7 +25,7 @@ from whisperlivekit_tpu.models.whisper.dims import MODEL_DIMS
 from whisperlivekit_tpu.streaming import alignatt as A
 
 NAME = "large-v3"
-B = 16
+B = 24
 TAIL = 256
 TRACE_DIR = "/tmp/tick_trace"
 
@@ -36,7 +36,7 @@ def main():
     rng = np.random.default_rng(0)
     suppress_mask = bx._suppress(dims)
     al, ah = bx._align(dims, NAME)
-    statics = bx._statics(dims, xkv_f8=True)
+    statics = bx._statics(dims, xkv_f8=False)
     audio_pool = jnp.asarray(rng.integers(-3000, 3000, (B, 16000 * 30)).astype(np.int16))
     enc_pool = jnp.zeros((B + 1, dims.n_audio_ctx, dims.n_audio_state), jnp.bfloat16)
     core = bx._core_args(dims, B, rng, suppress_mask, al, ah)

@@ -41,6 +41,19 @@ Params = Dict[str, jnp.ndarray]
 ENCODER_SCAN_UNROLL = 1
 DECODER_SCAN_UNROLL = 1
 
+#: Use the Pallas flash self-attention kernel in the encoder on TPU. XLA
+#: materializes [B,H,T,T] f32 scores per layer (~4.3 GB at large-v3 B=24
+#: full-window), which makes the anchor encode run ~2.5x its matmul floor;
+#: the kernel keeps score tiles in VMEM (ops/flash_encoder.py).
+ENCODER_FLASH_ATTN = True
+
+
+def _flash_attn_available(T: int, dh: int) -> bool:
+    """Kernel preconditions: TPU backend, lane-aligned T, supported head dim."""
+    if not ENCODER_FLASH_ATTN or jax.default_backend() != "tpu":
+        return False
+    return T % 128 == 0 and dh in (64, 128)
+
 
 # ---------------------------------------------------------------------------
 # Parameter initialization (tests / benchmarks; real weights come from load.py)
@@ -277,20 +290,41 @@ def encode(
         x = (x + pos[idx].astype(x.dtype)).astype(x.dtype)
 
     n_head = dims.n_audio_head
+    T0 = x.shape[1]
+    use_flash = _flash_attn_available(
+        ((T0 + 127) // 128) * 128, dims.n_audio_state // n_head
+    )
+    if use_flash and T0 % 128 != 0:
+        # lane-align the sequence for the kernel; padded KEY columns are
+        # masked by t_valid, padded rows carry garbage and are sliced off.
+        x = jnp.pad(x, ((0, 0), (0, ((T0 + 127) // 128) * 128 - T0), (0, 0)))
 
     def block(x, bp):
         h = layer_norm(x, bp["attn_ln"])
         q = _split_heads(dense(h, bp["attn"]["q"]), n_head)
         k = _split_heads(dense(h, bp["attn"]["k"]), n_head)
         v = _split_heads(dense(h, bp["attn"]["v"]), n_head)
-        # Full materialized attention when the score tensor fits comfortably
-        # (fastest on TPU; measured vs chunked); online-softmax chunking only
-        # as the memory fallback for very large batch x heads.
-        score_bytes = x.shape[0] * n_head * x.shape[1] * x.shape[1] * 2
-        if score_bytes > 6e9:
-            attn = _attend_chunked(q, k, v)
+        if use_flash:
+            # VMEM-tiled flash kernel: XLA otherwise materializes the
+            # [B,H,T,T] f32 scores (786 -> ~350 ms full-window encode at
+            # large-v3 B=24; ops/flash_encoder.py).
+            from ...ops.flash_encoder import flash_encoder_attn
+
+            attn = flash_encoder_attn(
+                q.transpose(0, 2, 1, 3),
+                k.transpose(0, 2, 3, 1),
+                v.transpose(0, 2, 1, 3),
+                t_valid=T0,
+            ).transpose(0, 2, 1, 3)
         else:
-            attn, _ = _attend(q, k, v)
+            # Full materialized attention when the score tensor fits
+            # comfortably; online-softmax chunking as the memory fallback
+            # for very large batch x heads.
+            score_bytes = x.shape[0] * n_head * x.shape[1] * x.shape[1] * 2
+            if score_bytes > 6e9:
+                attn = _attend_chunked(q, k, v)
+            else:
+                attn, _ = _attend(q, k, v)
         x = x + dense(_merge_heads(attn), bp["attn"]["o"])
         h = layer_norm(x, bp["mlp_ln"])
         h = jax.nn.gelu(dense(h, bp["mlp"]["fc1"]), approximate=False)
@@ -298,6 +332,8 @@ def encode(
         return x, None
 
     x, _ = jax.lax.scan(block, x, p["blocks"], unroll=ENCODER_SCAN_UNROLL)
+    if x.shape[1] != T0:
+        x = x[:, :T0]
     return layer_norm(x, p["ln_post"])
 
 
@@ -352,12 +388,33 @@ def cross_kv(
     XLA path — small-matmul issue latency — and was dropped)."""
     n_head = dims.n_text_head
 
+    if transposed:
+        # One batched matmul over all layers (weights are stacked [L,D,D])
+        # instead of a 32-iteration scan of per-layer projections: a single
+        # [B*T, D] x [D, L*2D] contraction keeps the MXU fed and reads enc
+        # once instead of once per layer.
+        blocks = params["decoder"]["blocks"]
+        kw = blocks["cross"]["k"]["w"]  # [L, D, D_out]
+        vw = blocks["cross"]["v"]["w"]
+        vb = blocks["cross"]["v"]["b"]  # [L, D_out]
+        B_, T_, _ = enc.shape
+        L = kw.shape[0]
+
+        def project(w, bias):
+            out = jnp.einsum(
+                "btD,lDk->lbkt", enc, w, preferred_element_type=jnp.float32
+            )
+            if bias is not None:
+                out = out + bias.astype(jnp.float32)[:, None, :, None]
+            out = out.astype(out_dtype or enc.dtype)
+            dh = out.shape[2] // n_head
+            return out.reshape(L, B_, n_head, dh, T_)
+
+        return CrossKV(k=project(kw, None), v=project(vw, vb))
+
     def per_layer(_, bp):
         k = _split_heads(dense(enc, bp["cross"]["k"]), n_head)
         v = _split_heads(dense(enc, bp["cross"]["v"]), n_head)
-        if transposed:
-            k = k.transpose(0, 2, 3, 1)  # [B,H,Dh,T]
-            v = v.transpose(0, 2, 3, 1)
         if out_dtype is not None:
             k = k.astype(out_dtype)
             v = v.astype(out_dtype)
@@ -434,6 +491,18 @@ def decode(
     batch_idx = jnp.arange(B, dtype=jnp.int32)[:, None]  # [B,1]
 
     T_enc = xkv.k.shape[-1] if xkv_transposed else xkv.k.shape[2]
+    # Prefill (S>1) cross-attention through the flash kernel when its probs
+    # output is not needed: with align_reduce the gate statistics come from
+    # the K-head recompute, and without align nothing reads probs.
+    use_flash_prefill = (
+        xkv_transposed
+        and S > 1
+        and S % 8 == 0
+        and enc_mask is None
+        and (align is None or align_reduce is not None)
+        and ENCODER_FLASH_ATTN
+        and jax.default_backend() == "tpu"
+    )
     if align is not None and align_reduce is not None:
         align_acc = (
             jnp.zeros((B, align.count, T_enc), jnp.float32),
@@ -462,35 +531,63 @@ def decode(
         # -- cross attention over encoder features --
         h = layer_norm(x, bp["cross_ln"])
         qx = _split_heads(dense(h, bp["cross"]["q"]), n_head)
-        if xkv_transposed:
-            xk = xk.astype(x.dtype)
-            xv = xv.astype(x.dtype)
+        # cross-KV may be stored narrow (f8) to halve the per-step HBM read;
+        # the cast happens per layer inside the scan.
+        xk = xk.astype(x.dtype)
+        xv = xv.astype(x.dtype)
+        if use_flash_prefill:
+            # VMEM-tiled kernel: XLA's einsum prefill materializes the
+            # [B,H,S,T] f32 scores + probs per layer; probs aren't consumed
+            # here (align stats come from the K-head recompute below).
+            from ...ops.flash_encoder import flash_encoder_attn
+
+            xattn = flash_encoder_attn(
+                qx.transpose(0, 2, 1, 3), xk, xv,
+                t_valid=T_enc, v_transposed=True,
+            ).transpose(0, 2, 1, 3)
+            xprobs = None
+        elif xkv_transposed:
             xattn, xprobs = _attend_t(qx, xk, xv, mask=cross_mask)
         else:
-            # cross-KV may be stored narrow (f8) to halve the per-step HBM
-            # read (32 layers x [B,1500,H,Dh] x2 dominates decode-step time
-            # at large-v3); the cast happens per layer inside the scan.
-            xk = xk.astype(x.dtype)
-            xv = xv.astype(x.dtype)
             xattn, xprobs = _attend(qx, xk, xv, mask=cross_mask)  # xprobs [B,H,S,T]
         x = x + dense(_merge_heads(xattn), bp["cross"]["o"])
 
-        if align_acc is not None:
-            # Route this layer's registered heads into their fixed slots.
+        if align_acc is not None and align_reduce is not None:
+            # Prefill path: recompute scores for ONLY the K registered heads
+            # and reduce — identical f32 math on the same bf16 operands, but
+            # the [B,H,S,T] f32 probs tensor never feeds per-layer gathers
+            # (measured 54 ms of the 133 ms large-v3 B=24 prefill; the
+            # K-head recompute is ~4 GFLOP/layer).
             sel = (align.layers == layer_i).astype(jnp.float32)  # [K]
-            gathered = xprobs[:, align.heads]  # [B,K,S,T]
-            if align_reduce is not None:
-                w_sum, w_last = align_reduce
-                asum, asq, alast = align_acc
-                g_sum = jnp.einsum("bkst,bs->bkt", gathered, w_sum)
-                g_sq = jnp.einsum("bkst,bs->bkt", gathered * gathered, w_sum)
-                g_last = jnp.einsum("bkst,bs->bkt", gathered, w_last)
-                selk = sel[None, :, None]
-                align_acc = (
-                    asum + selk * g_sum, asq + selk * g_sq, alast + selk * g_last
+            q_sel = qx[:, :, align.heads]                        # [B,S,K,Dh]
+            if xkv_transposed:
+                k_sel = xk[:, align.heads]                       # [B,K,Dh,T]
+                s_sel = jnp.einsum(
+                    "bskd,bkdt->bkst", q_sel, k_sel, preferred_element_type=jnp.float32
                 )
             else:
-                align_acc = align_acc + sel[:, None, None, None] * gathered.transpose(1, 0, 2, 3)
+                k_sel = xk[:, :, align.heads]                    # [B,T,K,Dh]
+                s_sel = jnp.einsum(
+                    "bskd,btkd->bkst", q_sel, k_sel, preferred_element_type=jnp.float32
+                )
+            s_sel = s_sel * (qx.shape[-1] ** -0.5)
+            if cross_mask is not None:
+                s_sel = s_sel + cross_mask[:, None, :, :]
+            gathered = jax.nn.softmax(s_sel, axis=-1)            # [B,K,S,T]
+            w_sum, w_last = align_reduce
+            asum, asq, alast = align_acc
+            g_sum = jnp.einsum("bkst,bs->bkt", gathered, w_sum)
+            g_sq = jnp.einsum("bkst,bs->bkt", gathered * gathered, w_sum)
+            g_last = jnp.einsum("bkst,bs->bkt", gathered, w_last)
+            selk = sel[None, :, None]
+            align_acc = (
+                asum + selk * g_sum, asq + selk * g_sq, alast + selk * g_last
+            )
+        elif align_acc is not None:
+            # Step path (S=1): gather the registered heads' probability rows.
+            sel = (align.layers == layer_i).astype(jnp.float32)  # [K]
+            gathered = xprobs[:, align.heads]  # [B,K,S,T]
+            align_acc = align_acc + sel[:, None, None, None] * gathered.transpose(1, 0, 2, 3)
 
         # -- mlp --
         h = layer_norm(x, bp["mlp_ln"])

@@ -408,15 +408,32 @@ def _tick_core(
         last_attend_out = jnp.where(s["active"], new_last_attend, s["last_attend"])
 
         # ---- decode the sampled token (produces attn row + next logits) ----
-        new_logits, step_aprobs, cache = wm.decode(
-            params,
-            tok[:, None],
-            jnp.minimum(cur_len, dims.n_text_ctx - 1),
-            xkv,
-            s["cache"],
-            dims,
-            align=align,
-            xkv_transposed=xkv_transposed,
+        # The loop exits when every lane stopped or k+1 == max_steps; in both
+        # cases this step's decoder pass would produce logits/attention no
+        # one consumes — skip it (one full decoder pass, ~12 ms at large-v3
+        # B=24). Exact: the skipped outputs are dead in the exit state.
+        def _do_decode(cache):
+            return wm.decode(
+                params,
+                tok[:, None],
+                jnp.minimum(cur_len, dims.n_text_ctx - 1),
+                xkv,
+                cache,
+                dims,
+                align=align,
+                xkv_transposed=xkv_transposed,
+            )
+
+        def _skip_decode(cache):
+            return (
+                jnp.zeros((B, 1, dims.n_vocab), jnp.float32),
+                jnp.zeros((align.count, B, 1, T), jnp.float32),
+                cache,
+            )
+
+        will_continue = (k + 1 < max_steps) & jnp.any(active)
+        new_logits, step_aprobs, cache = jax.lax.cond(
+            will_continue, _do_decode, _skip_decode, s["cache"]
         )
         step_row = step_aprobs.transpose(1, 0, 2, 3)[:, :, 0, :]  # [B,K,T]
         upd = active.astype(jnp.float32)[:, None, None]
