@@ -179,4 +179,4 @@ def test_lane_cap_scales_with_model(engine):
 
     assert _auto_lane_cap(Fake(MODEL_DIMS["base"]), 96) == 96
     assert _auto_lane_cap(Fake(MODEL_DIMS["large-v3-turbo"]), 96) == 64
-    assert _auto_lane_cap(Fake(MODEL_DIMS["large-v3"]), 96) == 16
+    assert _auto_lane_cap(Fake(MODEL_DIMS["large-v3"]), 96) == 24

@@ -46,11 +46,13 @@ logger = logging.getLogger(__name__)
 
 
 def _auto_lane_cap(engine: AlignAttEngine, requested: int) -> int:
-    """HBM-bound lane-group width per model scale (measured on v5e:
-    bench.py sub-metrics — base peaks at 96, turbo at 64, large-v3 at 16)."""
+    """HBM/latency-bound lane-group width per model scale (measured on v5e,
+    bench.py sub-metrics: base peaks at B=64, turbo at B=32, large-v3 at
+    B=24 within the 500 ms p50 tick-latency budget — B=32 adds ~1% streams
+    at 584 ms p50)."""
     d = engine.dims
     if d.n_audio_state >= 1280 and d.n_text_layer >= 16:  # large-v3 class
-        return min(requested, 16)
+        return min(requested, 24)
     if d.n_audio_state >= 1280:  # turbo class
         return min(requested, 64)
     return requested

@@ -555,9 +555,11 @@ def decode(
         if align_acc is not None and align_reduce is not None:
             # Prefill path: recompute scores for ONLY the K registered heads
             # and reduce — identical f32 math on the same bf16 operands, but
-            # the [B,H,S,T] f32 probs tensor never feeds per-layer gathers
-            # (measured 54 ms of the 133 ms large-v3 B=24 prefill; the
-            # K-head recompute is ~4 GFLOP/layer).
+            # the attention's [B,H,S,T] f32 probs never feed per-layer
+            # gathers (-26 ms at large-v3 B=24; the recompute is ~4
+            # GFLOP/layer and reads ~K/H of xk again, amortized over S
+            # prefill rows). At S=1 re-reading k_sel per step measured
+            # SLOWER than the gather (36 vs 18 ms/step) — steps gather.
             sel = (align.layers == layer_i).astype(jnp.float32)  # [K]
             q_sel = qx[:, :, align.heads]                        # [B,S,K,Dh]
             if xkv_transposed:

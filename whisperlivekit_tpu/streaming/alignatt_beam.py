@@ -86,8 +86,10 @@ def alignatt_tick_beam(
         2 * T,
     )
     enc = wm.encode(params, mel, dims)
-    xkv_b = wm.cross_kv(params, enc, dims)
-    # replicate per-lane cross KV over beams: [L, B*beam, T, H, Dh]
+    # transposed layout ([B,H,Dh,T]) — the decode-step fast path; exact
+    # bf16 numerics (see model.cross_kv)
+    xkv_b = wm.cross_kv(params, enc, dims, transposed=True)
+    # replicate per-lane cross KV over beams: [L, B*beam, H, Dh, T]
     xkv = wm.CrossKV(
         k=jnp.repeat(xkv_b.k, beam, axis=1), v=jnp.repeat(xkv_b.v, beam, axis=1)
     )
@@ -106,7 +108,7 @@ def alignatt_tick_beam(
     ).astype(jnp.float32)
     prefill_logits, (asum, asq, last_row), cache = wm.decode(
         params, prefix_bm, jnp.zeros((BM,), jnp.int32), xkv, cache, dims,
-        align=align, align_reduce=(row_mask, last_onehot),
+        align=align, align_reduce=(row_mask, last_onehot), xkv_transposed=True,
     )
     acount = plen_bm.astype(jnp.float32)
 
@@ -249,7 +251,8 @@ def alignatt_tick_beam(
         last_attend_out = jnp.where(s["active"], new_last_attend, s["last_attend"])
 
         new_logits, step_aprobs, cache_n = wm.decode(
-            params, tok_flat[:, None], write_pos, xkv, cache_r, dims, align=align
+            params, tok_flat[:, None], write_pos, xkv, cache_r, dims, align=align,
+            xkv_transposed=True
         )
         step_row = step_aprobs.transpose(1, 0, 2, 3)[:, :, 0, :]
         upd = keep.astype(jnp.float32)[:, None, None]
