@@ -1,0 +1,194 @@
+"""Group-resident cross-KV cache (XKVGroupPool) program invariants.
+
+- the pooled anchor program's tick outputs equal the legacy full-window
+  program exactly (pool writeback is output-invariant; the anchor decodes
+  from the freshly projected dense cross-KV);
+- the pooled incremental tick (cached columns + tail projection scatter)
+  produces the same outputs as the EncPool incremental tick (full-window
+  projection of merged cached encoder rows) — the cache IS the projection;
+- inactive slots (win == 0) never write into the pool.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from conftest import reference_asset
+from whisperlivekit_tpu.models.whisper import model as M
+from whisperlivekit_tpu.models.whisper.dims import MODEL_DIMS
+from whisperlivekit_tpu.streaming import alignatt as A
+
+pytestmark = pytest.mark.skipif(
+    reference_asset("whisperlivekit/whisper/assets/multilingual.tiktoken") is None,
+    reason="tokenizer vocab assets unavailable",
+)
+
+EOT, TS_BEGIN, NO_SPEECH, SPACE = 50257, 50364, 50362, 220
+B = 2
+TAIL = 128
+STEPS = 4
+
+
+@pytest.fixture(scope="module")
+def setup():
+    dims = MODEL_DIMS["dev-tiny"]
+    params = M.init_params(dims, jax.random.PRNGKey(0))
+    from whisperlivekit_tpu.models.whisper.dims import default_alignment_heads
+
+    pairs = np.asarray(default_alignment_heads(dims, None), np.int32).reshape(-1, 2)
+    suppress = np.zeros(dims.n_vocab, np.float32)
+    suppress[TS_BEGIN:] = -np.inf
+    return dims, params, jnp.asarray(suppress), jnp.asarray(pairs[:, 0]), jnp.asarray(pairs[:, 1])
+
+
+def _audio(seconds, seed=0):
+    rng = np.random.default_rng(seed)
+    n = int(16000 * seconds)
+    t = np.arange(n) / 16000
+    sig = 0.3 * np.sin(2 * np.pi * (150 + 40 * seed) * t) + 0.05 * rng.standard_normal(n)
+    out = np.zeros((B, A.N_SAMPLES), np.float32)
+    for b in range(B):
+        out[b, :n] = np.roll(sig, 100 * b)[:n]
+    return out
+
+
+def _core(dims, suppress, aL, aH, content):
+    prefix = np.full((B, 64), EOT, np.int32)
+    prefix[:, 0:4] = [50258, 50259, 50359, 50363]
+    return (
+        jnp.asarray(prefix), jnp.full((B,), 4, jnp.int32),
+        jnp.zeros((B,), jnp.int32), jnp.full((B,), content, jnp.int32),
+        jnp.full((B,), -200, jnp.int32), jnp.zeros((B,), bool),
+        jnp.full((B,), 10**6, jnp.int32), suppress, aL, aH,
+        jnp.int32(2), jnp.int32(10**9), jnp.float32(2.0),
+        jnp.ones((B,), bool),
+        jnp.zeros((dims.n_audio_state,), jnp.float32), jnp.float32(0.0),
+    )
+
+
+def _statics(dims):
+    return dict(
+        dims=dims, p_max=64, max_steps=STEPS, eot=EOT, ts_begin=TS_BEGIN,
+        no_speech_tok=NO_SPEECH, space_tok=SPACE,
+    )
+
+
+def _pool(dims, dtype=jnp.float32):
+    shape = (dims.n_text_layer, B, dims.n_text_head, dims.head_dim, dims.n_audio_ctx)
+    return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
+
+
+def test_pooled_anchor_equals_legacy(setup):
+    dims, params, suppress, aL, aH = setup
+    audio = jnp.asarray(_audio(4.0))
+    core = _core(dims, suppress, aL, aH, content=200)
+    statics = _statics(dims)
+
+    want = A.alignatt_tick(params, audio, *core, **statics)
+
+    k, v = _pool(dims)
+    got = A.alignatt_tick_anchor_pooled(
+        params, audio, k, v, jnp.arange(B, dtype=jnp.int32), *core, **statics
+    )
+    np.testing.assert_array_equal(np.asarray(want[0]), np.asarray(got[0]))  # tokens
+    np.testing.assert_array_equal(np.asarray(want[1]), np.asarray(got[1]))  # n_keep
+    np.testing.assert_array_equal(np.asarray(want[3]), np.asarray(got[3]))  # reason
+    # pool rows were written (non-zero where the projection is non-zero)
+    assert float(jnp.abs(got[-2]).sum()) > 0
+
+
+def test_group_anchor_equals_legacy(setup):
+    """Whole-group anchor (layer-scanned in-place pool rebuild) must decode
+    identically to the legacy full-window program (bf16/f32 pool)."""
+    dims, params, suppress, aL, aH = setup
+    audio = jnp.asarray(_audio(4.0, seed=3))
+    core = _core(dims, suppress, aL, aH, content=200)
+    statics = _statics(dims)
+
+    want = A.alignatt_tick(params, audio, *core, **statics)
+    k, v = _pool(dims)
+    got = A.alignatt_tick_anchor_group(params, audio, k, v, *core, **statics)
+    np.testing.assert_array_equal(np.asarray(want[0]), np.asarray(got[0]))
+    np.testing.assert_array_equal(np.asarray(want[1]), np.asarray(got[1]))
+    np.testing.assert_array_equal(np.asarray(want[3]), np.asarray(got[3]))
+    # the rebuilt pool matches the reference projection
+    enc = A._tick_front(params, audio, dims, False)
+    from whisperlivekit_tpu.models.whisper import model as wm
+
+    ref = wm.cross_kv(params, enc, dims, transposed=True)
+    np.testing.assert_allclose(
+        np.asarray(got[-2]), np.asarray(ref.k), rtol=2e-5, atol=2e-5
+    )
+
+
+def test_pooled_inc_matches_encpool_inc(setup):
+    dims, params, suppress, aL, aH = setup
+    statics = _statics(dims)
+    audio5 = _audio(5.0, seed=1)
+    audio_i16 = jnp.asarray(
+        (np.clip(audio5, -1, 1 - 1 / 32768) * 32768.0).astype(np.int16)
+    )
+    content, tail_start, write_start = 250, 250 - TAIL, 200 - 16
+    core5 = _core(dims, suppress, aL, aH, content=content)
+
+    # --- EncPool path: anchor writes rows, inc merges the tail ---
+    enc_pool = jnp.zeros((B + 1, dims.n_audio_ctx, dims.n_audio_state), jnp.float32)
+    lanes = jnp.arange(1, B + 1, dtype=jnp.int32)
+    anchor_out = A.alignatt_tick_anchor(
+        params, jnp.asarray(audio5), enc_pool, lanes, *core5, **statics
+    )
+    enc_pool = anchor_out[-1]
+    inc_a = A.alignatt_tick_inc(
+        params, audio_i16, enc_pool, jnp.arange(B, dtype=jnp.int32), lanes,
+        jnp.full((B,), tail_start, jnp.int32), jnp.full((B,), content, jnp.int32),
+        jnp.full((B,), write_start, jnp.int32),
+        *core5, **statics, tail_frames=TAIL,
+    )
+
+    # --- XKV pool path: pooled anchor writes columns, pooled inc scatters ---
+    k, v = _pool(dims)
+    A.alignatt_tick_anchor_pooled(
+        params, jnp.asarray(audio5), k, v, jnp.arange(B, dtype=jnp.int32),
+        *core5, **statics,
+    )
+    k2, v2 = _pool(dims)
+    out2 = A.alignatt_tick_anchor_pooled(
+        params, jnp.asarray(audio5), k2, v2, jnp.arange(B, dtype=jnp.int32),
+        *core5, **statics,
+    )
+    k2, v2 = out2[-2], out2[-1]
+    inc_b = A.alignatt_tick_inc_pooled(
+        params, audio_i16, k2, v2, jnp.arange(B, dtype=jnp.int32),
+        jnp.full((B,), tail_start, jnp.int32), jnp.full((B,), content, jnp.int32),
+        jnp.full((B,), write_start, jnp.int32),
+        *core5, **statics, tail_frames=TAIL,
+    )
+
+    np.testing.assert_array_equal(np.asarray(inc_a[0]), np.asarray(inc_b[0]))
+    np.testing.assert_array_equal(np.asarray(inc_a[1]), np.asarray(inc_b[1]))
+    np.testing.assert_array_equal(np.asarray(inc_a[3]), np.asarray(inc_b[3]))
+
+
+def test_inactive_slots_write_nothing(setup):
+    dims, params, suppress, aL, aH = setup
+    statics = _statics(dims)
+    audio5 = _audio(5.0, seed=2)
+    audio_i16 = jnp.asarray(
+        (np.clip(audio5, -1, 1 - 1 / 32768) * 32768.0).astype(np.int16)
+    )
+    core5 = _core(dims, suppress, aL, aH, content=250)
+    # slot 1 inactive: win_frames = 0 must leave its pool row untouched
+    win = jnp.asarray([250, 0], jnp.int32)
+    k, v = _pool(dims)
+    marker = k.at[:, 1].set(7.0)
+    out = A.alignatt_tick_inc_pooled(
+        params, audio_i16, marker, v.at[:, 1].set(7.0),
+        jnp.arange(B, dtype=jnp.int32),
+        jnp.full((B,), 250 - TAIL, jnp.int32), win,
+        jnp.full((B,), 184, jnp.int32),
+        *core5, **statics, tail_frames=TAIL,
+    )
+    np.testing.assert_array_equal(np.asarray(out[-2][:, 1]), 7.0)
+    np.testing.assert_array_equal(np.asarray(out[-1][:, 1]), 7.0)

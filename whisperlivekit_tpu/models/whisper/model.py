@@ -424,6 +424,45 @@ def cross_kv(
     return CrossKV(k=ks, v=vs)
 
 
+def cross_kv_into_pool(
+    params: Params,
+    enc: jnp.ndarray,   # [G, T, D]
+    pool_k: jnp.ndarray,  # [L, G, H, Dh, T] (donated by the caller's jit)
+    pool_v: jnp.ndarray,
+    dims: ModelDimensions,
+) -> CrossKV:
+    """Project the full-window cross-KV directly INTO a group pool, one layer
+    at a time (transposed layout).
+
+    The whole-group anchor cannot afford ``cross_kv`` + a scatter: the dense
+    [L,G,H,Dh,T] intermediate doubles the footprint next to the donated pool
+    (OOM at large-v3 G=24 bf16 on 16 GB v5e). Scanning layers bounds the
+    transient to one layer's K+V (~0.4 GB) and updates the pool in place."""
+    n_head = dims.n_text_head
+    G, T_, _ = enc.shape
+
+    def project_one(w, bias):
+        out = jnp.einsum("btD,Dk->bkt", enc, w, preferred_element_type=jnp.float32)
+        if bias is not None:
+            out = out + bias.astype(jnp.float32)[None, :, None]
+        dh = out.shape[1] // n_head
+        return out.reshape(G, n_head, dh, T_)
+
+    def body(carry, layer_in):
+        pk, pv, l = carry
+        bp = layer_in
+        k_l = project_one(bp["cross"]["k"]["w"], None).astype(pk.dtype)
+        v_l = project_one(bp["cross"]["v"]["w"], bp["cross"]["v"]["b"]).astype(pv.dtype)
+        pk = jax.lax.dynamic_update_slice(pk, k_l[None], (l, 0, 0, 0, 0))
+        pv = jax.lax.dynamic_update_slice(pv, v_l[None], (l, 0, 0, 0, 0))
+        return (pk, pv, l + 1), None
+
+    (pool_k, pool_v, _), _ = jax.lax.scan(
+        body, (pool_k, pool_v, jnp.int32(0)), params["decoder"]["blocks"]
+    )
+    return CrossKV(k=pool_k, v=pool_v)
+
+
 class AlignSpec(NamedTuple):
     """Static alignment-head routing: K entries of (layer, head)."""
 

@@ -241,9 +241,14 @@ def _tick_core(
     use_cif: bool = False,
     xkv_f8: bool = False,
     xkv_transposed: bool = True,
+    xkv_pre: Optional[wm.CrossKV] = None,
 ):
-    """The decode phase of one streaming tick (everything after encoding)."""
-    B = enc.shape[0]
+    """The decode phase of one streaming tick (everything after encoding).
+
+    ``xkv_pre`` supplies precomputed cross-attention K/V (the per-group HBM
+    cache — see XKVGroupPool); the projection over the full window is then
+    skipped entirely. ``enc`` may be None in that mode (CIF excepted)."""
+    B = enc.shape[0] if enc is not None else xkv_pre.k.shape[1]
     align = wm.AlignSpec(layers=align_layers, heads=align_heads)
     K = align_layers.shape[0]
     T = dims.n_audio_ctx
@@ -276,11 +281,14 @@ def _tick_core(
     # default layout with exact bf16 numerics. xkv_f8 (per-layer f8 cast,
     # storage only) halves the HBM *footprint* when memory is the binding
     # constraint, at the price of a per-layer bf16 materialization.
-    xkv = wm.cross_kv(
-        params, enc, dims,
-        out_dtype=jnp.float8_e4m3fn if xkv_f8 else None,
-        transposed=xkv_transposed,
-    )
+    if xkv_pre is not None:
+        xkv = xkv_pre
+    else:
+        xkv = wm.cross_kv(
+            params, enc, dims,
+            out_dtype=jnp.float8_e4m3fn if xkv_f8 else None,
+            transposed=xkv_transposed,
+        )
     cache = wm.init_cache(
         dims, B, dtype=params["decoder"]["tok_emb"].dtype,
         width=p_max + max_steps + 1,
@@ -606,6 +614,196 @@ def alignatt_tick_inc(
         ts_begin, no_speech_tok, space_tok, use_cif, xkv_f8, xkv_transposed,
     )
     return outs + (enc_pool,)
+
+
+def _xkv_scatter_tail(pool_k, pool_v, tail_k, tail_v, write_start, tail_start, win):
+    """Write freshly projected tail cross-KV columns into the group pool.
+
+    pool_*: [L, G, H, Dh, T] (donated; G = group width, slot == lane order).
+    tail_*: [L, G, H, Dh, F] — projection of the re-encoded window tail
+    starting at encoder frame ``tail_start``. Column t in
+    [write_start, win) takes tail[t - tail_start]; lanes with win == 0
+    (padding / inactive slots) write nothing (OOB scatter drop)."""
+    F = tail_k.shape[-1]
+    T = pool_k.shape[-1]
+    j = jnp.arange(F, dtype=jnp.int32)[None, :]
+    cols = write_start[:, None] + j                      # [G, F]
+    src = cols - tail_start[:, None]                     # [G, F]
+    valid = (cols < win[:, None]) & (src >= 0) & (src < F)
+    cols = jnp.where(valid, cols, T)                     # OOB -> dropped
+    idx = src.clip(0, F - 1)[None, :, None, None, :]
+    vk = jnp.take_along_axis(tail_k, idx, axis=-1).transpose(1, 4, 0, 2, 3)
+    vv = jnp.take_along_axis(tail_v, idx, axis=-1).transpose(1, 4, 0, 2, 3)
+    slots = jnp.arange(pool_k.shape[1], dtype=jnp.int32)[:, None]
+    pool_k = pool_k.at[:, slots, :, :, cols].set(vk.astype(pool_k.dtype), mode="drop")
+    pool_v = pool_v.at[:, slots, :, :, cols].set(vv.astype(pool_v.dtype), mode="drop")
+    return pool_k, pool_v
+
+
+@partial(
+    jax.jit,
+    static_argnames=_TICK_STATICS + ("tail_frames",),
+    donate_argnames=("xkv_k", "xkv_v"),
+)
+def alignatt_tick_inc_pooled(
+    params,
+    audio_pool,            # [W, N] int16 — device-resident audio windows
+    xkv_k,                 # [L, G, H, Dh, T] — per-group cross-KV cache (donated)
+    xkv_v,                 # [L, G, H, Dh, T] (donated)
+    audio_lanes,           # [G] int32 — audio pool rows, slot order
+    tail_start,            # [G] first encoder frame of the re-encoded tail
+    win_frames,            # [G] current window extent (0 = inactive slot)
+    write_start,           # [G] first frame whose features are (re)written
+    prefix, prefix_len, sot_index, content_frames, last_attend, is_last,
+    max_new, suppress_mask, align_layers, align_heads, frame_threshold,
+    rewind_threshold, nonspeech_prob, active_in, cif_w, cif_b,
+    dims, p_max, max_steps, eot, ts_begin, no_speech_tok, space_tok,
+    use_cif=False, xkv_f8=False, xkv_transposed=True, mel_pallas=False,
+    tail_frames: int = 384,
+):
+    """Incremental tick over a *group-resident cross-KV cache*: re-encode only
+    the window tail, project only the tail's cross-KV columns, scatter them
+    into the donated [L, G, H, Dh, T] pool, and decode straight off the pool.
+
+    This removes the full-window cross-KV projection (~90 ms at large-v3
+    G=24 on v5e) from the steady-state tick. Slot order IS batch order —
+    no gathers touch the pool (a dynamic per-layer lane gather measured 4.8x
+    slower than direct reads: docs/perf/probe_xkv_gather). The cached
+    columns are bit-identical to a recompute: the projection reduces over
+    the model dim only, so tiling over T cannot change the accumulation.
+
+    Returns (*tick outputs, xkv_k', xkv_v')."""
+    assert not use_cif, "CIF needs full-window encoder features; use the EncPool path"
+    G = audio_lanes.shape[0]
+    rows = audio_pool[audio_lanes]
+
+    S_tail = (tail_frames + 1) * 320
+    samp_idx = tail_start[:, None] * 320 + jnp.arange(S_tail, dtype=jnp.int32)[None, :]
+    tail = jnp.take_along_axis(rows, jnp.minimum(samp_idx, rows.shape[1] - 1), axis=1)
+    tail = jnp.where(samp_idx < rows.shape[1], tail, 0)
+    tail = tail.astype(jnp.float32) / 32768.0
+
+    mel = log_mel_spectrogram(
+        tail, n_mels=dims.n_mels, precision=jax.lax.Precision.DEFAULT
+    )
+    mel = pad_or_trim(mel, 2 * tail_frames)
+    enc_tail = wm.encode(params, mel, dims, pos_start=tail_start)  # [G, F, D]
+
+    fresh = wm.cross_kv(params, enc_tail, dims, transposed=True)
+    xkv_k, xkv_v = _xkv_scatter_tail(
+        xkv_k, xkv_v, fresh.k, fresh.v, write_start, tail_start, win_frames
+    )
+
+    outs = _tick_core(
+        params, None, prefix, prefix_len, sot_index, content_frames,
+        last_attend, is_last, max_new, suppress_mask, align_layers,
+        align_heads, frame_threshold, rewind_threshold, nonspeech_prob,
+        active_in, cif_w, cif_b, dims, p_max, max_steps, eot, ts_begin,
+        no_speech_tok, space_tok, use_cif, xkv_f8, xkv_transposed,
+        xkv_pre=wm.CrossKV(k=xkv_k, v=xkv_v),
+    )
+    return outs + (xkv_k, xkv_v)
+
+
+@partial(
+    jax.jit, static_argnames=_TICK_STATICS, donate_argnames=("xkv_k", "xkv_v")
+)
+def alignatt_tick_anchor_pooled(
+    params, audio, xkv_k, xkv_v, slots,
+    prefix, prefix_len, sot_index, content_frames, last_attend, is_last,
+    max_new, suppress_mask, align_layers, align_heads, frame_threshold,
+    rewind_threshold, nonspeech_prob, active_in, cif_w, cif_b,
+    dims, p_max, max_steps, eot, ts_begin, no_speech_tok, space_tok,
+    use_cif=False, xkv_f8=False, xkv_transposed=True, mel_pallas=False,
+):
+    """Full-window tick that re-anchors per-group cross-KV cache rows.
+
+    ``slots`` maps each batch lane to its group slot (G for padded lanes —
+    dropped). Runs at full window cost; the scheduler amortizes it to
+    1-in-N ticks (window eviction) plus session admission/migration.
+    The tick itself decodes from the freshly computed dense cross-KV (in
+    compute dtype), so an anchor tick's outputs match the legacy program
+    exactly; the pool stores the pool-dtype cast the inc ticks will read.
+
+    Returns (*tick outputs, xkv_k', xkv_v')."""
+    enc = _tick_front(params, audio, dims, mel_pallas)
+    fresh = wm.cross_kv(params, enc, dims, transposed=True)
+    xkv_k = xkv_k.at[:, slots].set(fresh.k.astype(xkv_k.dtype), mode="drop")
+    xkv_v = xkv_v.at[:, slots].set(fresh.v.astype(xkv_v.dtype), mode="drop")
+    outs = _tick_core(
+        params, enc, prefix, prefix_len, sot_index, content_frames,
+        last_attend, is_last, max_new, suppress_mask, align_layers,
+        align_heads, frame_threshold, rewind_threshold, nonspeech_prob,
+        active_in, cif_w, cif_b, dims, p_max, max_steps, eot, ts_begin,
+        no_speech_tok, space_tok, use_cif, xkv_f8, xkv_transposed,
+        xkv_pre=fresh,
+    )
+    return outs + (xkv_k, xkv_v)
+
+
+@partial(
+    jax.jit, static_argnames=_TICK_STATICS, donate_argnames=("xkv_k", "xkv_v")
+)
+def alignatt_tick_anchor_group(
+    params, audio, xkv_k, xkv_v,
+    prefix, prefix_len, sot_index, content_frames, last_attend, is_last,
+    max_new, suppress_mask, align_layers, align_heads, frame_threshold,
+    rewind_threshold, nonspeech_prob, active_in, cif_w, cif_b,
+    dims, p_max, max_steps, eot, ts_begin, no_speech_tok, space_tok,
+    use_cif=False, xkv_f8=False, xkv_transposed=True, mel_pallas=False,
+):
+    """Whole-group anchor: re-encode every lane's full window and rebuild the
+    group's cross-KV pool IN PLACE (cross_kv_into_pool — one layer's K/V
+    transient instead of a dense [L,G,H,Dh,T] copy beside the donated pool,
+    which OOMs at large-v3 G=24 bf16). The decode reads the rebuilt pool, so
+    with a bf16 pool the outputs equal the legacy program exactly.
+
+    The scheduler aligns a group's window evictions to a shared epoch so this
+    runs once per eviction block for the whole group (batching the anchors
+    measured ~6x cheaper than staggering them lane-by-lane).
+
+    Returns (*tick outputs, xkv_k', xkv_v')."""
+    enc = _tick_front(params, audio, dims, mel_pallas)
+    pooled = wm.cross_kv_into_pool(params, enc, xkv_k, xkv_v, dims)
+    outs = _tick_core(
+        params, enc, prefix, prefix_len, sot_index, content_frames,
+        last_attend, is_last, max_new, suppress_mask, align_layers,
+        align_heads, frame_threshold, rewind_threshold, nonspeech_prob,
+        active_in, cif_w, cif_b, dims, p_max, max_steps, eot, ts_begin,
+        no_speech_tok, space_tok, use_cif, xkv_f8, xkv_transposed,
+        xkv_pre=pooled,
+    )
+    return outs + (pooled.k, pooled.v)
+
+
+class XKVGroupPool:
+    """Per-lane-group cross-KV cache resident in device HBM.
+
+    k/v: [L, G, H, Dh, T] in ``dtype`` (bf16 exact, or f8_e4m3 to halve the
+    footprint AND the decode-loop read — measured 24% faster 8-step loop on
+    v5e, docs/perf/probe_xkv_f8). Slot order IS the batch order of the
+    group's tick programs; sessions pin to a slot for their lifetime and a
+    migration forces a re-anchor. Scale-out = more groups, not wider ones."""
+
+    def __init__(self, group_width: int, dims: ModelDimensions, dtype=jnp.bfloat16):
+        self.group_width = group_width
+        shape = (
+            dims.n_text_layer, group_width, dims.n_text_head,
+            dims.head_dim, dims.n_audio_ctx,
+        )
+        self.k = jnp.zeros(shape, dtype)
+        self.v = jnp.zeros(shape, dtype)
+        self._free = list(range(group_width))
+
+    def acquire(self) -> Optional[int]:
+        return self._free.pop() if self._free else None
+
+    def release(self, slot: int) -> None:
+        self._free.append(slot)
+
+    @property
+    def occupancy(self) -> int:
+        return self.group_width - len(self._free)
 
 
 class EncPool:
