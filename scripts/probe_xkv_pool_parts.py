@@ -1,5 +1,10 @@
-"""Decompose the pooled-xkv inc tick: front+scatter / prefill / steps,
-f8 vs bf16 pools, vs the dense-xkv equivalents. Run ON axon."""
+"""Decompose the pooled-xkv inc tick, one part per process.
+
+Usage: python scripts/probe_xkv_pool_parts.py <part>
+  part in {steps_f8, steps_bf16, steps_dense, prefill_f8, prefill_dense, front_f8}
+Appends to /tmp/probe_xkv_pool_parts.json. Run ON axon.
+"""
+
 
 from __future__ import annotations
 
@@ -43,8 +48,8 @@ prefix = jnp.asarray(
 plen = jnp.full((B,), 20, jnp.int32)
 
 
-@partial(jax.jit, donate_argnums=(1, 2))
-def front_scatter(ap, k, v):
+@partial(jax.jit, donate_argnums=(2, 3))
+def front_scatter(p, ap, k, v):
     rows = ap
     S_tail = (TAIL + 1) * 320
     samp_idx = tail_start[:, None] * 320 + jnp.arange(S_tail, dtype=jnp.int32)[None, :]
@@ -52,33 +57,33 @@ def front_scatter(ap, k, v):
     t = jnp.where(samp_idx < rows.shape[1], t, 0).astype(jnp.float32) / 32768.0
     mel = A.log_mel_spectrogram(t, n_mels=dims.n_mels, precision=jax.lax.Precision.DEFAULT)
     mel = A.pad_or_trim(mel, 2 * TAIL)
-    enc_tail = wm.encode(params, mel, dims, pos_start=tail_start)
-    fresh = wm.cross_kv(params, enc_tail, dims, transposed=True)
+    enc_tail = wm.encode(p, mel, dims, pos_start=tail_start)
+    fresh = wm.cross_kv(p, enc_tail, dims, transposed=True)
     k, v = A._xkv_scatter_tail(k, v, fresh.k, fresh.v, write_start, tail_start, win)
     return k, v, (fresh.k.astype(jnp.float32).sum())
 
 
 @jax.jit
-def prefill_from(k, v):
+def prefill_from(p, k, v):
     cache = wm.init_cache(dims, B, dtype=jnp.bfloat16, width=64 + STEPS + 1)
     row_mask = (jnp.arange(64)[None, :] < plen[:, None]).astype(jnp.float32)
     last_onehot = (jnp.arange(64)[None, :] == (plen - 1)[:, None]).astype(jnp.float32)
     logits, accs, cache = wm.decode(
-        params, prefix, jnp.zeros((B,), jnp.int32), wm.CrossKV(k=k, v=v), cache,
+        p, prefix, jnp.zeros((B,), jnp.int32), wm.CrossKV(k=k, v=v), cache,
         dims, align=align, align_reduce=(row_mask, last_onehot), xkv_transposed=True,
     )
     return logits.astype(jnp.float32).sum()
 
 
 @jax.jit
-def steps_from(k, v):
+def steps_from(p, k, v):
     cache = wm.init_cache(dims, B, dtype=jnp.bfloat16, width=64 + STEPS + 1)
     xkv = wm.CrossKV(k=k, v=v)
 
     def body(carry, _):
         tok, pos, cache, acc = carry
         logits, aprobs, cache = wm.decode(
-            params, tok[:, None], pos, xkv, cache, dims, align=align,
+            p, tok[:, None], pos, xkv, cache, dims, align=align,
             xkv_transposed=True,
         )
         tok = jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32)
@@ -100,42 +105,44 @@ def timeit(fn, *a, iters=4):
 
 
 res = {}
-for name, dt in [("f8", jnp.float8_e4m3fn), ("bf16", jnp.bfloat16)]:
-    try:
-        k = jnp.zeros(shape, dt)
-        v = jnp.zeros(shape, dt)
-        t_pre = timeit(prefill_from, k, v)
-        t_steps = timeit(steps_from, k, v)
-        # front+scatter donates; rebuild each iter outside timing is hard —
-        # time it with fresh pools per call (allocation noise acceptable)
-        t0 = time.perf_counter()
-        n = 3
-        for _ in range(n):
-            kk = jnp.zeros(shape, dt)
-            vv = jnp.zeros(shape, dt)
-            out = front_scatter(audio_pool, kk, vv)
-            float(np.asarray(out[2]))
-        t_front = (time.perf_counter() - t0) / n * 1e3
-        res[name] = {
-            "front_scatter_ms": round(t_front, 1),
-            "prefill_ms": round(t_pre, 1),
-            "steps8_ms": round(t_steps, 1),
-        }
-        print(name, res[name], file=sys.stderr, flush=True)
-        del k, v
-    except Exception as e:
-        res[name] = f"FAILED {type(e).__name__}"
-        print(name, "FAILED", repr(e)[:200], file=sys.stderr, flush=True)
+part = sys.argv[1] if len(sys.argv) > 1 else "steps_f8"
+F8, BF16 = jnp.float8_e4m3fn, jnp.bfloat16
 
-# dense bf16 baseline (what the EncPool path feeds the decode)
-kd = jnp.zeros((dims.n_text_layer, B, dims.n_text_head, dims.head_dim, dims.n_audio_ctx), jnp.bfloat16)
-vd = jnp.zeros_like(kd)
-res["dense_bf16"] = {
-    "prefill_ms": round(timeit(prefill_from, kd, vd), 1),
-    "steps8_ms": round(timeit(steps_from, kd, vd), 1),
-}
-print("dense_bf16", res["dense_bf16"], file=sys.stderr, flush=True)
 
-print(json.dumps(res))
-with open("/tmp/probe_xkv_pool_parts.json", "w") as f:
-    json.dump(res, f, indent=1)
+def pools(dt):
+    return jnp.zeros(shape, dt), jnp.zeros(shape, dt)
+
+
+if part == "steps_f8":
+    res[part] = round(timeit(steps_from, params, *pools(F8)), 1)
+elif part == "steps_bf16":
+    res[part] = round(timeit(steps_from, params, *pools(BF16)), 1)
+elif part == "prefill_f8":
+    res[part] = round(timeit(prefill_from, params, *pools(F8)), 1)
+elif part == "prefill_bf16":
+    res[part] = round(timeit(prefill_from, params, *pools(BF16)), 1)
+elif part in ("front_f8", "front_bf16"):
+    dt = F8 if part.endswith("f8") else BF16
+    kk, vv = pools(dt)
+    t_c0 = time.perf_counter()
+    out = front_scatter(params, audio_pool, kk, vv)   # compile + warm
+    float(np.asarray(out[2]))
+    res[part + "_compile_s"] = round(time.perf_counter() - t_c0, 1)
+    t0 = time.perf_counter()
+    n = 3
+    for _ in range(n):
+        kk, vv = pools(dt)
+        out = front_scatter(params, audio_pool, kk, vv)
+        float(np.asarray(out[2]))
+    res[part] = round((time.perf_counter() - t0) / n * 1e3, 1)
+else:
+    raise SystemExit(f"unknown part {part}")
+
+print(json.dumps(res), flush=True)
+import os
+path = "/tmp/probe_xkv_pool_parts.json"
+acc = {}
+if os.path.exists(path):
+    acc = json.load(open(path))
+acc.update(res)
+json.dump(acc, open(path, "w"), indent=1)

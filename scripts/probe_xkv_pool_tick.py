@@ -21,7 +21,6 @@ from whisperlivekit_tpu.models.whisper.dims import MODEL_DIMS, default_alignment
 from whisperlivekit_tpu.streaming import alignatt as A
 
 EOT, TS_BEGIN, NO_SPEECH, SPACE = 50257, 50364, 50362, 220
-TAIL = 256
 STEPS = 8
 MODEL = "large-v3"
 
@@ -65,7 +64,7 @@ def time_call(fn, iters=4):
 
 
 res = {}
-for B, dt_name in [(24, "bf16"), (24, "f8"), (28, "bf16"), (32, "f8")]:
+for B, dt_name, TAIL in [(24, "f8", 192), (24, "f8", 160), (24, "bf16", 192)]:
     dt = jnp.bfloat16 if dt_name == "bf16" else jnp.float8_e4m3fn
     try:
         audio_pool = jnp.asarray(
@@ -99,18 +98,18 @@ for B, dt_name in [(24, "bf16"), (24, "f8"), (28, "bf16"), (32, "f8")]:
         t_anchor = time_call(anchor, iters=2)
         t_amort = (14 * t_inc + t_anchor) / 15
         streams = B / t_amort
-        res[f"B{B}_{dt_name}"] = {
+        res[f"B{B}_{dt_name}_t{TAIL}"] = {
             "inc_ms": round(t_inc * 1e3, 1),
             "anchor_ms": round(t_anchor * 1e3, 1),
             "amortized_ms": round(t_amort * 1e3, 1),
             "streams": round(streams, 1),
         }
-        print(f"B={B} {dt_name}: inc={t_inc*1e3:.1f} anchor={t_anchor*1e3:.1f} "
+        print(f"B={B} {dt_name} t{TAIL}: inc={t_inc*1e3:.1f} anchor={t_anchor*1e3:.1f} "
               f"amort={t_amort*1e3:.1f} -> {streams:.1f} streams",
               file=sys.stderr, flush=True)
         del audio_pool, core, state
     except Exception as e:
-        res[f"B{B}_{dt_name}"] = f"FAILED {type(e).__name__}: {e}"
+        res[f"B{B}_{dt_name}_t{TAIL}"] = f"FAILED {type(e).__name__}: {e}"
         print(f"B={B} {dt_name}: FAILED {type(e).__name__}: {e}",
               file=sys.stderr, flush=True)
 

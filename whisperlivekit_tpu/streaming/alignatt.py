@@ -623,21 +623,34 @@ def _xkv_scatter_tail(pool_k, pool_v, tail_k, tail_v, write_start, tail_start, w
     tail_*: [L, G, H, Dh, F] — projection of the re-encoded window tail
     starting at encoder frame ``tail_start``. Column t in
     [write_start, win) takes tail[t - tail_start]; lanes with win == 0
-    (padding / inactive slots) write nothing (OOB scatter drop)."""
-    F = tail_k.shape[-1]
+    (padding / inactive slots) write nothing.
+
+    The per-lane column alignment (t <- t - tail_start) runs on the MXU as a
+    one-hot shift matmul — the same trick as the matmul-DFT mel. T is the
+    pool's minor axis (the decode fast path needs it there), so any
+    gather/scatter formulation indexes along the minor dim: XLA lowers that
+    to an element-granular gather (~130 ms at G=16) or, for `.at[..].set`
+    advanced indexing, a TRANSPOSED COPY of the whole pool (5.5 GB padded at
+    large-v3 G=24 bf16 — OOM), and a scan of per-lane dynamic_update_slices
+    compiles for ~11 min. The one-hot contraction sums exactly one product
+    per output column, so the merged values are exact."""
     T = pool_k.shape[-1]
-    j = jnp.arange(F, dtype=jnp.int32)[None, :]
-    cols = write_start[:, None] + j                      # [G, F]
-    src = cols - tail_start[:, None]                     # [G, F]
-    valid = (cols < win[:, None]) & (src >= 0) & (src < F)
-    cols = jnp.where(valid, cols, T)                     # OOB -> dropped
-    idx = src.clip(0, F - 1)[None, :, None, None, :]
-    vk = jnp.take_along_axis(tail_k, idx, axis=-1).transpose(1, 4, 0, 2, 3)
-    vv = jnp.take_along_axis(tail_v, idx, axis=-1).transpose(1, 4, 0, 2, 3)
-    slots = jnp.arange(pool_k.shape[1], dtype=jnp.int32)[:, None]
-    pool_k = pool_k.at[:, slots, :, :, cols].set(vk.astype(pool_k.dtype), mode="drop")
-    pool_v = pool_v.at[:, slots, :, :, cols].set(vv.astype(pool_v.dtype), mode="drop")
-    return pool_k, pool_v
+    F = tail_k.shape[-1]
+    t_idx = jnp.arange(T, dtype=jnp.int32)[None, :]               # [1, T]
+    in_write = (t_idx >= write_start[:, None]) & (t_idx < win[:, None])  # [G,T]
+    src = t_idx - tail_start[:, None]                             # [G, T]
+    shift = (
+        src[:, None, :] == jnp.arange(F, dtype=jnp.int32)[None, :, None]
+    ).astype(tail_k.dtype)                                        # [G, F, T]
+    sel = in_write[None, :, None, None, :]
+
+    def merge(pool, tail):
+        fresh = jnp.einsum(
+            "lgxdf,gft->lgxdt", tail, shift, preferred_element_type=jnp.float32
+        ).astype(pool.dtype)
+        return jnp.where(sel, fresh, pool)
+
+    return merge(pool_k, tail_k), merge(pool_v, tail_v)
 
 
 @partial(
