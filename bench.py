@@ -2,10 +2,15 @@
 
 Measures the AlignAtt streaming tick packed over B lanes, for the models
 that matter (whisper base / large-v3-turbo / large-v3), in the production
-configuration: **incremental encoding** (per-lane cached encoder frames;
-each tick re-encodes only the window tail — alignatt_tick_inc) with a full
-re-anchor amortized once per eviction block, 8 gated decode steps per tick
-(a realistic token rate), audio resident in HBM (AudioPool).
+configuration: **group-resident cross-KV cache** (XKVGroupPool — columns
+live in HBM per lane-slot; the tick re-encodes only the window tail and
+projects only the tail's cross-KV: alignatt_tick_inc_pooled) with the
+whole-group re-anchor amortized once per eviction block
+(alignatt_tick_anchor_group; the scheduler epoch-synchronizes group
+evictions), 8 gated decode steps per tick (a realistic token rate), audio
+resident in HBM (AudioPool). Pool dtype sweeps bf16 (exact — pooled ticks
+match the legacy program bitwise) and f8_e4m3 (capacity mode,
+cfg.xkv_cache_dtype="f8": half the pool HBM and ~11% more streams).
 
 Capacity model: each live session needs one tick per TICK_SECONDS of audio;
 the scheduler packs lanes into groups of B and rotates groups within the
@@ -46,13 +51,12 @@ TS_BEGIN = 50364
 NO_SPEECH = 50362
 SPACE = 220
 
-# (model, lane-group widths, tail frames, f8 cross-KV, is_headline)
-# large-v3 runs the transposed bf16 cross-KV layout (xkv_transposed default)
-# — measured faster than f8 storage on v5e AND exact (docs/perf/README.md).
+# (model, lane-group widths, tail frames, pool dtypes, is_headline)
+# tails match the engine's auto defaults (alignatt.AlignAttEngine.__init__)
 SWEEP = [
-    ("base", (64, 96), 384, False, False),
-    ("large-v3-turbo", (32, 64), 384, False, False),
-    ("large-v3", (24, 28, 32), 256, False, True),
+    ("base", (96,), 384, ("enc",), False),       # EncPool path (auto: xkv off <d1280)
+    ("large-v3-turbo", (64,), 256, ("bf16",), False),
+    ("large-v3", (24,), 160, ("bf16", "f8"), True),
 ]
 
 
@@ -93,11 +97,10 @@ def _core_args(dims, B, rng, suppress_mask, align_layers, align_heads):
     )
 
 
-def _statics(dims, xkv_f8=False):
+def _statics(dims):
     return dict(
         dims=dims, p_max=PREFIX_BUCKET, max_steps=DECODE_STEPS, eot=EOT,
         ts_begin=TS_BEGIN, no_speech_tok=NO_SPEECH, space_tok=SPACE,
-        xkv_f8=xkv_f8,
     )
 
 
@@ -113,7 +116,7 @@ def time_call(fn, iters=4) -> float:
     return (time.perf_counter() - t0) / iters
 
 
-def bench_model(name: str, widths, results: dict, tail_frames=384, xkv_f8=False) -> float:
+def bench_model(name: str, widths, results: dict, tail_frames=384, dtypes=("bf16",)) -> float:
     from whisperlivekit_tpu.models.whisper import model as wm
     from whisperlivekit_tpu.models.whisper.dims import MODEL_DIMS
     from whisperlivekit_tpu.streaming import alignatt as A
@@ -123,64 +126,88 @@ def bench_model(name: str, widths, results: dict, tail_frames=384, xkv_f8=False)
     rng = np.random.default_rng(0)
     suppress_mask = _suppress(dims)
     align_layers, align_heads = _align(dims, name)
-    statics = _statics(dims, xkv_f8=xkv_f8)
+    statics = _statics(dims)
 
     best_streams, best_B, best_lat = 0.0, 0, 0.0
     for B in widths:
+      for dt_name in dtypes:
+        dt = jnp.float8_e4m3fn if dt_name == "f8" else jnp.bfloat16
         try:
             audio_pool = jnp.asarray(
                 (rng.integers(-3000, 3000, (B, 16000 * 30))).astype(np.int16)
             )
-            enc_pool = jnp.zeros(
-                (B + 1, dims.n_audio_ctx, dims.n_audio_state), jnp.bfloat16
-            )
             core = _core_args(dims, B, rng, suppress_mask, align_layers, align_heads)
             lanes = jnp.arange(B, dtype=jnp.int32)
-            enc_lanes = lanes + 1
             tail_start = jnp.full((B,), 1500 - tail_frames, jnp.int32)
             win = jnp.full((B,), 1500, jnp.int32)
             write_start = jnp.full((B,), 1500 - 50 - 32, jnp.int32)  # 1 s + margin
-
-            state = {"enc_pool": enc_pool}
-
-            def inc_tick():
-                out = A.alignatt_tick_inc(
-                    params, audio_pool, state["enc_pool"], lanes, enc_lanes,
-                    tail_start, win, write_start, *core,
-                    **statics, tail_frames=tail_frames,
+            if dt_name == "enc":
+                enc_pool = jnp.zeros(
+                    (B + 1, dims.n_audio_ctx, dims.n_audio_state), jnp.bfloat16
                 )
-                state["enc_pool"] = out[-1]
-                return out
+                enc_lanes = lanes + 1
+                state = {"enc_pool": enc_pool}
 
-            def anchor_tick():
-                out = A.alignatt_tick_anchor(
-                    params, audio_pool, state["enc_pool"], enc_lanes, *core, **statics
+                def inc_tick():
+                    out = A.alignatt_tick_inc(
+                        params, audio_pool, state["enc_pool"], lanes, enc_lanes,
+                        tail_start, win, write_start, *core,
+                        **statics, tail_frames=tail_frames,
+                    )
+                    state["enc_pool"] = out[-1]
+                    return out
+
+                def anchor_tick():
+                    out = A.alignatt_tick_anchor(
+                        params, audio_pool, state["enc_pool"], enc_lanes,
+                        *core, **statics,
+                    )
+                    state["enc_pool"] = out[-1]
+                    return out
+            else:
+                shape = (
+                    dims.n_text_layer, B, dims.n_text_head, dims.head_dim,
+                    dims.n_audio_ctx,
                 )
-                state["enc_pool"] = out[-1]
-                return out
+                state = {"k": jnp.zeros(shape, dt), "v": jnp.zeros(shape, dt)}
+
+                def inc_tick():
+                    out = A.alignatt_tick_inc_pooled(
+                        params, audio_pool, state["k"], state["v"], lanes,
+                        tail_start, win, write_start, *core,
+                        **statics, tail_frames=tail_frames,
+                    )
+                    state["k"], state["v"] = out[-2], out[-1]
+                    return out
+
+                def anchor_tick():
+                    out = A.alignatt_tick_anchor_group(
+                        params, audio_pool, state["k"], state["v"], *core, **statics
+                    )
+                    state["k"], state["v"] = out[-2], out[-1]
+                    return out
 
             t_inc = time_call(inc_tick)
             t_anchor = time_call(anchor_tick, iters=2)
             t_amort = ((ANCHOR_EVERY - 1) * t_inc + t_anchor) / ANCHOR_EVERY
             streams = B * TICK_SECONDS / t_amort if t_amort > 0 else 0.0
-            results[f"{name}_B{B}"] = {
+            results[f"{name}_B{B}_{dt_name}"] = {
                 "inc_ms": round(t_inc * 1e3, 1),
                 "anchor_ms": round(t_anchor * 1e3, 1),
                 "amortized_ms": round(t_amort * 1e3, 1),
                 "streams": round(streams, 1),
             }
             print(
-                f"{name} B={B}: inc={t_inc*1e3:.1f} ms anchor={t_anchor*1e3:.1f} ms "
+                f"{name} B={B} {dt_name}: inc={t_inc*1e3:.1f} ms anchor={t_anchor*1e3:.1f} ms "
                 f"amortized={t_amort*1e3:.1f} ms -> {streams:.1f} streams",
                 file=sys.stderr, flush=True,
             )
             if streams > best_streams:
                 best_streams, best_B, best_lat = streams, B, t_amort
-            del audio_pool, enc_pool, core, state
+            del audio_pool, core, state
         except Exception as e:
-            print(f"{name} B={B}: failed ({type(e).__name__})", file=sys.stderr, flush=True)
-            results[f"{name}_B{B}"] = f"FAILED {type(e).__name__}"
-            break
+            print(f"{name} B={B} {dt_name}: failed ({type(e).__name__})", file=sys.stderr, flush=True)
+            results[f"{name}_B{B}_{dt_name}"] = f"FAILED {type(e).__name__}"
     print(
         f"{name}: peak {best_streams:.1f} streams at B={best_B} "
         f"(p50 tick latency {best_lat*1e3:.0f} ms)",
@@ -194,8 +221,8 @@ def main() -> None:
     sys.path.insert(0, ".")
     results: dict = {}
     headline = 0.0
-    for name, widths, tail, xkv_f8, is_headline in SWEEP:
-        streams = bench_model(name, widths, results, tail_frames=tail, xkv_f8=xkv_f8)
+    for name, widths, tail, dtypes, is_headline in SWEEP:
+        streams = bench_model(name, widths, results, tail_frames=tail, dtypes=dtypes)
         if is_headline:
             headline = streams
 

@@ -332,6 +332,8 @@ class TranscriptionEngine:
         else:
             proc.insert_audio_chunk(audio, 1.0)
             proc.process_iter()
+        if hasattr(proc, "close"):
+            proc.close()  # release pooled lanes/slots held by the warmup session
         logger.info("Engine warmup complete (streaming tick compiled)")
 
     def warmup(self, path: str) -> None:

@@ -38,6 +38,7 @@ from ..streaming.alignatt import (
     AudioPool,
     EncPool,
     TickInputs,
+    XKVAllocator,
     run_tick_batch,
 )
 from ..timed import ASRToken
@@ -129,9 +130,25 @@ class BatchScheduler:
         # tail (the ~30x full re-encode redundancy is the reference's main
         # throughput wall at large models; see alignatt_tick_inc)
         self.enc_pool: Optional[EncPool] = None
+        self.xkv: Optional[XKVAllocator] = None
         if incremental_encode:
             dtype = engine.params["decoder"]["tok_emb"].dtype
             self.enc_pool = EncPool(2 * self.max_lanes + 1, engine.dims, dtype=dtype)
+            cfg = engine.cfg
+            if getattr(cfg, "xkv_cache", False) and not engine.use_cif:
+                import jax.numpy as jnp
+
+                xdt = (
+                    jnp.float8_e4m3fn
+                    if getattr(cfg, "xkv_cache_dtype", "bf16") == "f8"
+                    else dtype
+                )
+                block_s = cfg.evict_block_s or cfg.audio_max_len / 2
+                self.xkv = XKVAllocator(
+                    self.max_lanes, engine.dims, dtype=xdt,
+                    budget_bytes=getattr(cfg, "xkv_budget_bytes", 6 << 30),
+                    epoch_period=max(2, int(round(block_s))),
+                )
 
     # ---- public API ------------------------------------------------------------
 
@@ -166,6 +183,7 @@ class BatchScheduler:
             "queue_wait_p95_ms": _ms(self._wait_q.quantile(0.95)),
             "word_emission_p50_ms": _ms(self._emit_q.quantile(0.5)),
             "word_emission_p95_ms": _ms(self._emit_q.quantile(0.95)),
+            **({"xkv": self.xkv.stats()} if self.xkv is not None else {}),
         }
 
     # ---- internals ----------------------------------------------------------------
@@ -236,12 +254,12 @@ class BatchScheduler:
                 if self.inline:
                     outs = run_tick_batch(
                         self.engine, tis, self.engine.tokenizer,
-                        pool=self.pool, enc_pool=self.enc_pool,
+                        pool=self.pool, enc_pool=self.enc_pool, xkv=self.xkv,
                     )
                 else:
                     outs = await asyncio.to_thread(
                         run_tick_batch, self.engine, tis, self.engine.tokenizer,
-                        self.pool, self.enc_pool,
+                        self.pool, self.enc_pool, self.xkv,
                     )
                 self.n_ticks += 1
                 self.n_lanes_served += len(batch)

@@ -430,6 +430,7 @@ def cross_kv_into_pool(
     pool_k: jnp.ndarray,  # [L, G, H, Dh, T] (donated by the caller's jit)
     pool_v: jnp.ndarray,
     dims: ModelDimensions,
+    active: Optional[jnp.ndarray] = None,  # [G] bool — rows to (re)write
 ) -> CrossKV:
     """Project the full-window cross-KV directly INTO a group pool, one layer
     at a time (transposed layout).
@@ -440,19 +441,30 @@ def cross_kv_into_pool(
     transient to one layer's K+V (~0.4 GB) and updates the pool in place."""
     n_head = dims.n_text_head
     G, T_, _ = enc.shape
+    # XLA:CPU's DotThunk rejects BF16xBF16=F32 for some dot shapes
+    if jax.default_backend() != "tpu" and enc.dtype == jnp.bfloat16:
+        enc = enc.astype(jnp.float32)
 
     def project_one(w, bias):
+        w = w.astype(enc.dtype)
         out = jnp.einsum("btD,Dk->bkt", enc, w, preferred_element_type=jnp.float32)
         if bias is not None:
             out = out + bias.astype(jnp.float32)[None, :, None]
         dh = out.shape[1] // n_head
         return out.reshape(G, n_head, dh, T_)
 
+    sel = None if active is None else active[None, :, None, None, None]
+
     def body(carry, layer_in):
         pk, pv, l = carry
         bp = layer_in
         k_l = project_one(bp["cross"]["k"]["w"], None).astype(pk.dtype)
         v_l = project_one(bp["cross"]["v"]["w"], bp["cross"]["v"]["b"]).astype(pv.dtype)
+        if sel is not None:  # keep inactive slots' cached rows intact
+            cur_k = jax.lax.dynamic_slice(pk, (l, 0, 0, 0, 0), k_l[None].shape)
+            cur_v = jax.lax.dynamic_slice(pv, (l, 0, 0, 0, 0), v_l[None].shape)
+            k_l = jnp.where(sel, k_l[None], cur_k)[0]
+            v_l = jnp.where(sel, v_l[None], cur_v)[0]
         pk = jax.lax.dynamic_update_slice(pk, k_l[None], (l, 0, 0, 0, 0))
         pv = jax.lax.dynamic_update_slice(pv, v_l[None], (l, 0, 0, 0, 0))
         return (pk, pv, l + 1), None

@@ -73,7 +73,12 @@ class AlignAttConfig:
     max_steps: int = 64  # static per-tick decode budget (device loop bound)
     # incremental encoding (EncPool): net-new TPU throughput mode — frames
     # are encoded once and cached; each tick re-encodes only the window tail
-    enc_tail_frames: int = 384   # tail length (enc frames; 384 = 7.7 s)
+    enc_tail_frames: int = 0     # tail length (enc frames); 0 = auto by model
+                                 # class: 384 (<=d512), 256 (turbo), 160
+                                 # (large-v3 class — the capacity sweet spot,
+                                 # docs/perf/xkv_pool_tick_v5e.json; fresh
+                                 # frames keep >=1.5 s left context and every
+                                 # eviction block re-anchors the window)
     enc_rewrite_margin: int = 32 # trailing frames re-encoded every tick so a
                                  # frame freezes only after 0.64 s of right ctx
     evict_block_s: float = 0.0   # 0 = audio_max_len/2 when enc caching is on
@@ -88,6 +93,21 @@ class AlignAttConfig:
                                  # exact bf16 numerics; scripts/probe_xattn_tpu.py
     mel_pallas: bool = False     # fused Pallas log-mel for full-window ticks
                                  # (wins at B>=32 on v5e: docs/perf/mel_ab_v5e.json)
+    # group-resident cross-KV cache (XKVGroupPool): the incremental tick
+    # skips the full-window cross-KV projection entirely — columns live in
+    # HBM per (group, slot) and only the tail is projected per tick
+    # (docs/perf/xkv_pool_tick_v5e.json: large-v3 B=24 63.0 streams f8 /
+    # 56.7 bf16-exact vs 54.8 for projection-per-tick)
+    xkv_cache: object = "auto"   # group cross-KV cache: "auto" = on for
+                                 # d>=1280 models (the projection it removes
+                                 # is negligible below that; base measured
+                                 # ~4% FASTER on the plain EncPool path)
+    xkv_cache_dtype: str = "bf16"  # "bf16" = exact (pooled == legacy bitwise);
+                                   # "f8" = f8_e4m3 storage: ~11% more streams
+                                   # + half the pool HBM, last-bit logits drift
+    xkv_budget_bytes: int = 6 << 30  # HBM cap for all groups' pools (auto
+                                     # group count; large-v3 bf16 fits 1 group
+                                     # of 24, f8 fits 2)
 
 
 class TokenBufferCtx:
@@ -644,9 +664,15 @@ def _xkv_scatter_tail(pool_k, pool_v, tail_k, tail_v, write_start, tail_start, w
     ).astype(tail_k.dtype)                                        # [G, F, T]
     sel = in_write[None, :, None, None, :]
 
+    # XLA:CPU's DotThunk rejects BF16xBF16=F32; upcast off-TPU (the one-hot
+    # contraction is exact in any float dtype wide enough for the values)
+    cpu = jax.default_backend() != "tpu"
+
     def merge(pool, tail):
+        t = tail.astype(jnp.float32) if cpu else tail
+        sh = shift.astype(jnp.float32) if cpu else shift.astype(tail.dtype)
         fresh = jnp.einsum(
-            "lgxdf,gft->lgxdt", tail, shift, preferred_element_type=jnp.float32
+            "lgxdf,gft->lgxdt", t, sh, preferred_element_type=jnp.float32
         ).astype(pool.dtype)
         return jnp.where(sel, fresh, pool)
 
@@ -777,7 +803,7 @@ def alignatt_tick_anchor_group(
 
     Returns (*tick outputs, xkv_k', xkv_v')."""
     enc = _tick_front(params, audio, dims, mel_pallas)
-    pooled = wm.cross_kv_into_pool(params, enc, xkv_k, xkv_v, dims)
+    pooled = wm.cross_kv_into_pool(params, enc, xkv_k, xkv_v, dims, active=active_in)
     outs = _tick_core(
         params, enc, prefix, prefix_len, sot_index, content_frames,
         last_attend, is_last, max_new, suppress_mask, align_layers,
@@ -807,6 +833,20 @@ class XKVGroupPool:
         self.k = jnp.zeros(shape, dtype)
         self.v = jnp.zeros(shape, dtype)
         self._free = list(range(group_width))
+        # group-synchronized anchor epochs: the scheduler bumps `epoch` once
+        # per eviction block of inc ticks; sessions that see a new epoch
+        # force-evict (window permitting) and plan an anchor, so the whole
+        # group re-anchors in ONE batched program instead of lane-by-lane
+        self.epoch = 0
+        self.ticks_since_epoch = 0
+
+    @staticmethod
+    def row_bytes(dims: ModelDimensions, dtype) -> int:
+        itemsize = jnp.dtype(dtype).itemsize
+        return (
+            2 * dims.n_text_layer * dims.n_text_head * dims.head_dim
+            * dims.n_audio_ctx * itemsize
+        )
 
     def acquire(self) -> Optional[int]:
         return self._free.pop() if self._free else None
@@ -817,6 +857,62 @@ class XKVGroupPool:
     @property
     def occupancy(self) -> int:
         return self.group_width - len(self._free)
+
+
+class XKVAllocator:
+    """Scheduler-owned registry of cross-KV cache groups.
+
+    Groups are created lazily up to an HBM budget; a session holds one
+    (group, slot) for its lifetime (slot order IS batch order — the decode
+    reads the pool directly, so slots cannot be regathered; see
+    XKVGroupPool). ``epoch_period`` paces group-synchronized anchors."""
+
+    def __init__(
+        self,
+        group_width: int,
+        dims: ModelDimensions,
+        dtype=jnp.bfloat16,
+        budget_bytes: int = 6 << 30,
+        epoch_period: int = 15,
+    ):
+        self.group_width = group_width
+        self.dims = dims
+        self.dtype = dtype
+        self.epoch_period = epoch_period
+        row = XKVGroupPool.row_bytes(dims, dtype)
+        self.max_groups = max(1, int(budget_bytes // (row * group_width)))
+        self.groups: List[XKVGroupPool] = []
+
+    def acquire(self) -> Optional[Tuple[int, int]]:
+        for gi, g in enumerate(self.groups):
+            slot = g.acquire()
+            if slot is not None:
+                return gi, slot
+        if len(self.groups) < self.max_groups:
+            self.groups.append(
+                XKVGroupPool(self.group_width, self.dims, dtype=self.dtype)
+            )
+            return len(self.groups) - 1, self.groups[-1].acquire()
+        return None
+
+    def release(self, gi: int, slot: int) -> None:
+        self.groups[gi].release(slot)
+
+    def note_group_tick(self, gi: int) -> None:
+        g = self.groups[gi]
+        g.ticks_since_epoch += 1
+        if g.ticks_since_epoch >= self.epoch_period:
+            g.ticks_since_epoch = 0
+            g.epoch += 1
+
+    def stats(self) -> dict:
+        return {
+            "n_groups": len(self.groups),
+            "max_groups": self.max_groups,
+            "group_width": self.group_width,
+            "slots_used": sum(g.occupancy for g in self.groups),
+            "epochs": [g.epoch for g in self.groups],
+        }
 
 
 class EncPool:
@@ -949,6 +1045,9 @@ class TickInputs:
     tail_start: int = 0
     write_start: int = 0
     enc_commit: Optional[Tuple] = None  # ((gen, evicted), win) applied in finish_tick
+    # group-resident cross-KV cache routing (XKVAllocator)
+    xkv_gi: Optional[int] = None
+    xkv_slot: Optional[int] = None
 
 
 @dataclass
@@ -1064,6 +1163,7 @@ def run_tick_batch(
     tokenizer,
     pool: Optional[AudioPool] = None,
     enc_pool: Optional[EncPool] = None,
+    xkv: Optional["XKVAllocator"] = None,
 ) -> List[TickOutputs]:
     """Pack N lanes into device programs and scatter the outputs.
 
@@ -1091,13 +1191,25 @@ def run_tick_batch(
 
     groups: dict = {}
     for i, t in enumerate(ticks):
-        mode = t.enc_mode if enc_pool is not None else None
-        groups.setdefault(mode, []).append(i)
+        if t.xkv_slot is not None and xkv is not None:
+            key = ("xkv", t.xkv_gi, t.enc_mode)
+        elif t.enc_lane is not None and enc_pool is not None:
+            key = t.enc_mode
+        else:
+            key = None  # plan-less or mis-routed lane: legacy full re-encode
+        groups.setdefault(key, []).append(i)
 
     outs: List[Optional[TickOutputs]] = [None] * len(ticks)
     for mode, idxs in groups.items():
         group = [ticks[i] for i in idxs]
-        if mode == "inc":
+        if isinstance(mode, tuple):
+            _, gi, enc_mode = mode
+            if enc_mode == "inc":
+                res = _run_group_xkv_inc(engine, group, tokenizer, pool, xkv, gi)
+                xkv.note_group_tick(gi)
+            else:
+                res = _run_group_xkv_anchor(engine, group, tokenizer, pool, xkv, gi)
+        elif mode == "inc":
             res = _run_group_inc(engine, group, tokenizer, pool, enc_pool)
         elif mode == "anchor":
             res = _run_group_anchor(engine, group, tokenizer, pool, enc_pool)
@@ -1165,6 +1277,108 @@ def _run_group_inc(engine, ticks, tokenizer, pool, enc_pool) -> List[TickOutputs
 
 
 # ---------------------------------------------------------------------------
+
+
+def _run_group_xkv_inc(engine, ticks, tokenizer, pool, xkv, gi) -> List[TickOutputs]:
+    """Incremental ticks over a group-resident cross-KV pool.
+
+    The program ALWAYS runs at the group's full width in slot order (the
+    decode reads the pool arrays directly; a per-lane gather measured 4.8x
+    slower). Slots without a submission this window ride along inactive
+    (win_frames=0, active=False): their pool rows are untouched and their
+    outputs discarded."""
+    g = xkv.groups[gi]
+    G = g.group_width
+    p_max = max(engine.bucket_for(len(t.prefix_ids)) for t in ticks)
+    arr = _collect_lane_arrays(engine, ticks, tokenizer, G, p_max)
+    # re-index every per-lane row from input order to slot order
+    slot_of = [t.xkv_slot for t in ticks]
+    perm = np.full(G, -1, np.int32)
+    for i, sl in enumerate(slot_of):
+        perm[sl] = i
+    for k, v in arr.items():
+        out = np.zeros((G,) + v.shape[1:], v.dtype)
+        for sl in range(G):
+            if perm[sl] >= 0:
+                out[sl] = v[perm[sl]]
+        arr[k] = out
+    audio_lanes = np.zeros(G, np.int32)
+    tail_start = np.zeros(G, np.int32)
+    win_frames = np.zeros(G, np.int32)
+    write_start = np.zeros(G, np.int32)
+    for t in ticks:
+        sl = t.xkv_slot
+        audio_lanes[sl] = t.pool_lane
+        tail_start[sl] = t.tail_start
+        win_frames[sl] = t.content_frames
+        write_start[sl] = t.write_start
+    args, statics = _core_device_args(engine, arr, tokenizer, p_max)
+    raw = alignatt_tick_inc_pooled(
+        engine.params, pool.pool, g.k, g.v,
+        jnp.asarray(audio_lanes), jnp.asarray(tail_start),
+        jnp.asarray(win_frames), jnp.asarray(write_start),
+        *args, **statics, tail_frames=engine.cfg.enc_tail_frames,
+    )
+    g.k, g.v = raw[-2], raw[-1]
+    slot_outs = _scatter_outputs(raw[:-2], G, engine.cfg.max_steps)
+    return [slot_outs[sl] for sl in slot_of]
+
+
+def _run_group_xkv_anchor(engine, ticks, tokenizer, pool, xkv, gi) -> List[TickOutputs]:
+    """Anchor ticks writing into a group's cross-KV pool rows.
+
+    A majority of the group anchoring together (the epoch-synchronized
+    eviction case) runs the whole-group program (in-place layer-scanned pool
+    rebuild — no dense [L,G,H,Dh,T] transient); small subsets (session join,
+    resets) run the slot-scatter program in chunks so the dense per-chunk
+    cross-KV transient stays bounded."""
+    g = xkv.groups[gi]
+    G = g.group_width
+    if len(ticks) >= max(2, G // 2):
+        p_max = max(engine.bucket_for(len(t.prefix_ids)) for t in ticks)
+        arr = _collect_lane_arrays(engine, ticks, tokenizer, G, p_max)
+        slot_of = [t.xkv_slot for t in ticks]
+        perm = np.full(G, -1, np.int32)
+        for i, sl in enumerate(slot_of):
+            perm[sl] = i
+        for k, v in arr.items():
+            out = np.zeros((G,) + v.shape[1:], v.dtype)
+            for sl in range(G):
+                if perm[sl] >= 0:
+                    out[sl] = v[perm[sl]]
+            arr[k] = out
+        lanes = [0] * G  # absent slots gather a throwaway row (inactive)
+        for t in ticks:
+            lanes[t.xkv_slot] = t.pool_lane
+        audio = pool.gather(lanes)
+        args, statics = _core_device_args(engine, arr, tokenizer, p_max)
+        raw = alignatt_tick_anchor_group(
+            engine.params, jnp.asarray(audio), g.k, g.v, *args, **statics
+        )
+        g.k, g.v = raw[-2], raw[-1]
+        slot_outs = _scatter_outputs(raw[:-2], G, engine.cfg.max_steps)
+        return [slot_outs[sl] for sl in slot_of]
+
+    outs: List[TickOutputs] = []
+    CHUNK = 8  # dense cross-KV transient ~2 GB at large-v3
+    for c0 in range(0, len(ticks), CHUNK):
+        chunk = ticks[c0 : c0 + CHUNK]
+        n = len(chunk)
+        B = 1 << (n - 1).bit_length()
+        p_max = max(engine.bucket_for(len(t.prefix_ids)) for t in chunk)
+        arr = _collect_lane_arrays(engine, chunk, tokenizer, B, p_max)
+        audio = _gather_full_audio(chunk, pool, B)
+        slots = np.full(B, G, np.int32)  # padded lanes -> OOB, dropped
+        for i, t in enumerate(chunk):
+            slots[i] = t.xkv_slot
+        args, statics = _core_device_args(engine, arr, tokenizer, p_max)
+        raw = alignatt_tick_anchor_pooled(
+            engine.params, audio, g.k, g.v, jnp.asarray(slots), *args, **statics
+        )
+        g.k, g.v = raw[-2], raw[-1]
+        outs.extend(_scatter_outputs(raw[:-2], n, engine.cfg.max_steps))
+    return outs
+
 # Shared engine + per-session state (host)
 # ---------------------------------------------------------------------------
 
@@ -1193,6 +1407,15 @@ class AlignAttEngine:
         self.align_heads = jnp.asarray(arr[:, 1])
         self.suppress_mask = jnp.asarray(self._build_suppress_mask(tokenizer, dims))
         self.use_cif, self.cif_w, self.cif_b = self._load_cif(cfg, dims)
+        if cfg.xkv_cache == "auto":
+            cfg.xkv_cache = bool(dims.n_audio_state >= 1280)
+        if not cfg.enc_tail_frames:
+            if dims.n_audio_state >= 1280 and dims.n_text_layer >= 16:
+                cfg.enc_tail_frames = 160   # large-v3 class
+            elif dims.n_audio_state >= 1280:
+                cfg.enc_tail_frames = 256   # turbo class
+            else:
+                cfg.enc_tail_frames = 384
         self.prefix_buckets = tuple(
             b for b in self.PREFIX_BUCKETS if b < dims.n_text_ctx
         ) or (dims.n_text_ctx // 2,)
@@ -1261,6 +1484,11 @@ class AlignAttSession:
         self.enc_lane: Optional[int] = None
         self._enc_synced_frames = 0
         self._enc_key: Optional[Tuple[int, int]] = None  # (audio_gen, evicted)
+        # group-resident cross-KV cache (set by the scheduler when enabled)
+        self.xkv_alloc: Optional[XKVAllocator] = None
+        self.xkv_gi: Optional[int] = None
+        self.xkv_slot: Optional[int] = None
+        self._xkv_epoch_seen = 0
         self._reset_segment_state()
         max_ctx = self.cfg.max_context_tokens
         self.max_context_tokens = (
@@ -1314,7 +1542,7 @@ class AlignAttSession:
         removed = 0.0
         total = self.segments_len()
         limit = self.cfg.audio_max_len
-        if self.enc_pool is not None and total > limit:
+        if (self.enc_pool is not None or self.xkv_slot is not None) and total > limit:
             block = self.cfg.evict_block_s or self.cfg.audio_max_len / 2
             limit = max(self.cfg.audio_max_len - block, 1.0)
         while len(self.segments) > 1 and total > limit:
@@ -1362,6 +1590,7 @@ class AlignAttSession:
             return None
         if self.segments_len() < self.cfg.audio_min_len:
             return None
+        self._maybe_epoch_evict()
 
         eng = self.engine
         dims = eng.dims
@@ -1393,18 +1622,59 @@ class AlignAttSession:
         self._attach_enc_plan(ti)
         return ti
 
+    def _maybe_epoch_evict(self) -> None:
+        """Group-synchronized eviction: when this session's cross-KV group
+        entered a new anchor epoch, evict a block early (window permitting)
+        so the whole group re-anchors in one batched program and their
+        eviction phases stay aligned (the scheduler paces epochs at one per
+        evict block of group ticks)."""
+        if self.xkv_alloc is None or self.xkv_slot is None:
+            return
+        g = self.xkv_alloc.groups[self.xkv_gi]
+        if g.epoch == self._xkv_epoch_seen:
+            return
+        self._xkv_epoch_seen = g.epoch
+        block = self.cfg.evict_block_s or self.cfg.audio_max_len / 2
+        limit = max(self.cfg.audio_max_len - block, 1.0)
+        total = self.segments_len()
+        while len(self.segments) > 1 and total > limit:
+            removed = self.segments[0].shape[0] / SAMPLE_RATE
+            total -= removed
+            self.last_attend_frame -= int(TOKENS_PER_SECOND * removed)
+            self.cumulative_time_offset += removed
+            self.evicted_samples += self.segments[0].shape[0]
+            self.segments = self.segments[1:]
+            if self.committed_tokens:
+                self.context.append_token_ids(self.committed_tokens[0])
+                self.committed_tokens = self.committed_tokens[1:]
+        # eviction shifts coordinates -> _enc_key mismatch -> anchor plan;
+        # sessions whose window was below the threshold anchor anyway (the
+        # refresh is exact, and it keeps the whole group in one program)
+        self._enc_key = None
+
     def _attach_enc_plan(self, ti: TickInputs) -> None:
         """Choose how this tick encodes: "inc" extends the cached frames with
         a tail re-encode; "anchor" recomputes the full window (first tick,
         after eviction/reset, or when the lane fell too far behind)."""
-        if self.enc_pool is None or ti.pool_lane is None:
+        if ti.pool_lane is None:
             return  # tail slicing needs the device-resident audio window
         if self.cfg.decoder_type == "beam" and self.cfg.beam_size > 1:
             return
-        if self.enc_lane is None:
-            self.enc_lane = self.enc_pool.acquire()
+        use_xkv = self.xkv_alloc is not None and not self.engine.use_cif
+        if use_xkv and self.xkv_slot is None:
+            got = self.xkv_alloc.acquire()
+            if got is not None:
+                self.xkv_gi, self.xkv_slot = got
+                self._xkv_epoch_seen = self.xkv_alloc.groups[self.xkv_gi].epoch
+        if use_xkv and self.xkv_slot is not None:
+            pass  # plan below routes to the group pool programs
+        elif self.enc_pool is not None:
             if self.enc_lane is None:
-                return  # cache exhausted: legacy full re-encode
+                self.enc_lane = self.enc_pool.acquire()
+                if self.enc_lane is None:
+                    return  # cache exhausted: legacy full re-encode
+        else:
+            return
         win = ti.content_frames
         key = (self._audio_gen, self.evicted_samples)
         tail = self.cfg.enc_tail_frames
@@ -1419,7 +1689,10 @@ class AlignAttSession:
             ti.tail_start = max(0, win - tail)
         else:
             ti.enc_mode = "anchor"
-        ti.enc_lane = self.enc_lane
+        if use_xkv and self.xkv_slot is not None:
+            ti.xkv_gi, ti.xkv_slot = self.xkv_gi, self.xkv_slot
+        else:
+            ti.enc_lane = self.enc_lane
         ti.enc_commit = (key, win)
 
     def _attach_pool_update(self, ti: TickInputs, audio: np.ndarray) -> None:
@@ -1467,6 +1740,12 @@ class AlignAttSession:
             self.enc_lane = None
             self._enc_synced_frames = 0
             self._enc_key = None
+        if self.xkv_alloc is not None and self.xkv_slot is not None:
+            self.xkv_alloc.release(self.xkv_gi, self.xkv_slot)
+            self.xkv_gi = None
+            self.xkv_slot = None
+            self._enc_synced_frames = 0
+            self._enc_key = None
 
     def infer(self, is_last: bool = False) -> List[ASRToken]:
         ti = self.prepare_tick(is_last)
@@ -1478,7 +1757,8 @@ class AlignAttSession:
             outs = run_tick_batch_beam(self.engine, [ti], self.tokenizer, self.cfg.beam_size)
         else:
             outs = run_tick_batch(
-                self.engine, [ti], self.tokenizer, pool=self.pool, enc_pool=self.enc_pool
+                self.engine, [ti], self.tokenizer, pool=self.pool,
+                enc_pool=self.enc_pool, xkv=self.xkv_alloc,
             )
         return self.finish_tick(ti, outs[0])
 

@@ -43,6 +43,8 @@ class SimulStreamingOnlineProcessor:
             self.model.pool = scheduler.pool
         if scheduler is not None and getattr(scheduler, "enc_pool", None) is not None:
             self.model.enc_pool = scheduler.enc_pool
+        if scheduler is not None and getattr(scheduler, "xkv", None) is not None:
+            self.model.xkv_alloc = scheduler.xkv
         beam_mode = engine.cfg.decoder_type == "beam" and engine.cfg.beam_size > 1
         if scheduler is not None and not beam_mode:
             # async variants are discovered by AudioProcessor._infer via the
