@@ -126,6 +126,8 @@ class WLKConfig:
     # (docs/perf/README.md). --no-incremental-encode restores exact ticks.
     incremental_encode: bool = True
     xkv_f8: bool = False                     # f8 cross-KV storage (large-model throughput)
+    xkv_cache: str = "auto"                  # group cross-KV cache: auto|on|off
+    xkv_cache_dtype: str = "bf16"            # pool storage: bf16 (exact) | f8 (capacity)
     openai_base_url: Optional[str] = None    # backend=openai-api endpoint override
     mesh_shape: Optional[str] = None         # e.g. "data:4,model:2"; None = 1 chip
     donate_kv_cache: bool = True

@@ -91,6 +91,10 @@ class SimulStreamingASR:
             never_fire=config.never_fire,
             cif_ckpt_path=config.cif_ckpt_path,
             xkv_f8=getattr(config, "xkv_f8", False),
+            xkv_cache={"on": True, "off": False}.get(
+                getattr(config, "xkv_cache", "auto"), "auto"
+            ),
+            xkv_cache_dtype=getattr(config, "xkv_cache_dtype", "bf16"),
         )
         self.engine = AlignAttEngine(
             params, dims, self.tokenizer, self.cfg, model_name=model_name,
