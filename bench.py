@@ -56,7 +56,7 @@ SPACE = 220
 SWEEP = [
     ("base", (96,), 384, ("enc",), False),       # EncPool path (auto: xkv off <d1280)
     ("large-v3-turbo", (64,), 256, ("bf16",), False),
-    ("large-v3", (24,), 160, ("bf16", "f8"), True),
+    ("large-v3", (24, 32), 160, ("bf16", "f8"), True),
 ]
 
 
@@ -167,24 +167,31 @@ def bench_model(name: str, widths, results: dict, tail_frames=384, dtypes=("bf16
             else:
                 shape = (
                     dims.n_text_layer, B, dims.n_text_head, dims.head_dim,
-                    dims.n_audio_ctx,
+                    -(-dims.n_audio_ctx // 128) * 128,
                 )
-                state = {"k": jnp.zeros(shape, dt), "v": jnp.zeros(shape, dt)}
+                enc_lanes = lanes + 1
+                state = {
+                    "k": jnp.zeros(shape, dt), "v": jnp.zeros(shape, dt),
+                    "enc": jnp.zeros(
+                        (B + 1, dims.n_audio_ctx, dims.n_audio_state), jnp.bfloat16
+                    ),
+                }
 
                 def inc_tick():
                     out = A.alignatt_tick_inc_pooled(
-                        params, audio_pool, state["k"], state["v"], lanes,
-                        tail_start, win, write_start, *core,
+                        params, audio_pool, state["k"], state["v"], state["enc"],
+                        lanes, enc_lanes, tail_start, win, write_start, *core,
                         **statics, tail_frames=tail_frames,
                     )
-                    state["k"], state["v"] = out[-2], out[-1]
+                    state["k"], state["v"], state["enc"] = out[-3], out[-2], out[-1]
                     return out
 
                 def anchor_tick():
                     out = A.alignatt_tick_anchor_group(
-                        params, audio_pool, state["k"], state["v"], *core, **statics
+                        params, audio_pool, state["k"], state["v"], state["enc"],
+                        enc_lanes, *core, **statics,
                     )
-                    state["k"], state["v"] = out[-2], out[-1]
+                    state["k"], state["v"], state["enc"] = out[-3], out[-2], out[-1]
                     return out
 
             t_inc = time_call(inc_tick)

@@ -26,7 +26,7 @@ from whisperlivekit_tpu.streaming import alignatt as A
 
 NAME = "large-v3"
 B = 24
-TAIL = 256
+TAIL = 160
 TRACE_DIR = "/tmp/tick_trace"
 
 
@@ -36,22 +36,27 @@ def main():
     rng = np.random.default_rng(0)
     suppress_mask = bx._suppress(dims)
     al, ah = bx._align(dims, NAME)
-    statics = bx._statics(dims, xkv_f8=False)
+    statics = bx._statics(dims)
     audio_pool = jnp.asarray(rng.integers(-3000, 3000, (B, 16000 * 30)).astype(np.int16))
-    enc_pool = jnp.zeros((B + 1, dims.n_audio_ctx, dims.n_audio_state), jnp.bfloat16)
     core = bx._core_args(dims, B, rng, suppress_mask, al, ah)
     lanes = jnp.arange(B, dtype=jnp.int32)
-    state = {"p": enc_pool}
+    shape = (dims.n_text_layer, B, dims.n_text_head, dims.head_dim,
+             -(-dims.n_audio_ctx // 128) * 128)
+    dt = jnp.float8_e4m3fn
+    enc_lanes = lanes + 1
+    state = {"k": jnp.zeros(shape, dt), "v": jnp.zeros(shape, dt),
+             "enc": jnp.zeros((B + 1, dims.n_audio_ctx, dims.n_audio_state), jnp.bfloat16)}
 
     def tick():
-        out = A.alignatt_tick_inc(
-            params, audio_pool, state["p"], lanes, lanes + 1,
+        out = A.alignatt_tick_inc_pooled(
+            params, audio_pool, state["k"], state["v"], state["enc"],
+            lanes, enc_lanes,
             jnp.full((B,), 1500 - TAIL, jnp.int32),
             jnp.full((B,), 1500, jnp.int32),
             jnp.full((B,), 1500 - 82, jnp.int32),
             *core, **statics, tail_frames=TAIL,
         )
-        state["p"] = out[-1]
+        state["k"], state["v"], state["enc"] = out[-3], out[-2], out[-1]
         return out
 
     np.asarray(tick()[1])  # compile + warm

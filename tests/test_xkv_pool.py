@@ -3,9 +3,9 @@
 - the pooled anchor program's tick outputs equal the legacy full-window
   program exactly (pool writeback is output-invariant; the anchor decodes
   from the freshly projected dense cross-KV);
-- the pooled incremental tick (cached columns + tail projection scatter)
-  produces the same outputs as the EncPool incremental tick (full-window
-  projection of merged cached encoder rows) — the cache IS the projection;
+- the pooled incremental tick splices exactly the aligned 256-column
+  window [align128(win-128), +256) with the projection of an independently
+  re-derived 384-frame tail encode, leaving every other column cached;
 - inactive slots (win == 0) never write into the pool.
 """
 
@@ -76,8 +76,16 @@ def _statics(dims):
 
 
 def _pool(dims, dtype=jnp.float32):
-    shape = (dims.n_text_layer, B, dims.n_text_head, dims.head_dim, dims.n_audio_ctx)
+    t_pad = -(-dims.n_audio_ctx // 128) * 128
+    shape = (dims.n_text_layer, B, dims.n_text_head, dims.head_dim, t_pad)
     return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
+
+
+def _enc_pool(dims):
+    return jnp.zeros((B + 1, dims.n_audio_ctx, dims.n_audio_state), jnp.float32)
+
+
+ENC_LANES = None  # set per call: rows 1..B (0 is scratch)
 
 
 def test_pooled_anchor_equals_legacy(setup):
@@ -90,13 +98,15 @@ def test_pooled_anchor_equals_legacy(setup):
 
     k, v = _pool(dims)
     got = A.alignatt_tick_anchor_pooled(
-        params, audio, k, v, jnp.arange(B, dtype=jnp.int32), *core, **statics
+        params, audio, k, v, _enc_pool(dims),
+        jnp.arange(1, B + 1, dtype=jnp.int32),
+        jnp.arange(B, dtype=jnp.int32), *core, **statics
     )
     np.testing.assert_array_equal(np.asarray(want[0]), np.asarray(got[0]))  # tokens
     np.testing.assert_array_equal(np.asarray(want[1]), np.asarray(got[1]))  # n_keep
     np.testing.assert_array_equal(np.asarray(want[3]), np.asarray(got[3]))  # reason
     # pool rows were written (non-zero where the projection is non-zero)
-    assert float(jnp.abs(got[-2]).sum()) > 0
+    assert float(jnp.abs(got[-3]).sum()) > 0
 
 
 def test_group_anchor_equals_legacy(setup):
@@ -109,7 +119,10 @@ def test_group_anchor_equals_legacy(setup):
 
     want = A.alignatt_tick(params, audio, *core, **statics)
     k, v = _pool(dims)
-    got = A.alignatt_tick_anchor_group(params, audio, k, v, *core, **statics)
+    got = A.alignatt_tick_anchor_group(
+        params, audio, k, v, _enc_pool(dims),
+        jnp.arange(1, B + 1, dtype=jnp.int32), *core, **statics
+    )
     np.testing.assert_array_equal(np.asarray(want[0]), np.asarray(got[0]))
     np.testing.assert_array_equal(np.asarray(want[1]), np.asarray(got[1]))
     np.testing.assert_array_equal(np.asarray(want[3]), np.asarray(got[3]))
@@ -119,56 +132,66 @@ def test_group_anchor_equals_legacy(setup):
 
     ref = wm.cross_kv(params, enc, dims, transposed=True)
     np.testing.assert_allclose(
-        np.asarray(got[-2]), np.asarray(ref.k), rtol=2e-5, atol=2e-5
+        np.asarray(got[-3])[..., : dims.n_audio_ctx], np.asarray(ref.k),
+        rtol=2e-5, atol=2e-5,
     )
 
 
-def test_pooled_inc_matches_encpool_inc(setup):
+def test_pooled_inc_splices_per_spec(setup):
+    """The pooled inc tick derives its own coordinates: columns
+    [align128(win-128), +256) of the pool must equal the cross-KV
+    projection of a 384-frame tail encoded at align128(win-128)-128 —
+    re-derived independently here — and all other columns stay cached."""
+    from whisperlivekit_tpu.ops.xkv_merge import W_SPLICE
+
     dims, params, suppress, aL, aH = setup
     statics = _statics(dims)
-    audio5 = _audio(5.0, seed=1)
+    audio6 = _audio(6.0, seed=1)
     audio_i16 = jnp.asarray(
-        (np.clip(audio5, -1, 1 - 1 / 32768) * 32768.0).astype(np.int16)
+        (np.clip(audio6, -1, 1 - 1 / 32768) * 32768.0).astype(np.int16)
     )
-    content, tail_start, write_start = 250, 250 - TAIL, 200 - 16
-    core5 = _core(dims, suppress, aL, aH, content=content)
+    content = 300  # win >= W_SPLICE: the splice window is [128, 384)
+    core6 = _core(dims, suppress, aL, aH, content=content)
 
-    # --- EncPool path: anchor writes rows, inc merges the tail ---
-    enc_pool = jnp.zeros((B + 1, dims.n_audio_ctx, dims.n_audio_state), jnp.float32)
-    lanes = jnp.arange(1, B + 1, dtype=jnp.int32)
-    anchor_out = A.alignatt_tick_anchor(
-        params, jnp.asarray(audio5), enc_pool, lanes, *core5, **statics
-    )
-    enc_pool = anchor_out[-1]
-    inc_a = A.alignatt_tick_inc(
-        params, audio_i16, enc_pool, jnp.arange(B, dtype=jnp.int32), lanes,
-        jnp.full((B,), tail_start, jnp.int32), jnp.full((B,), content, jnp.int32),
-        jnp.full((B,), write_start, jnp.int32),
-        *core5, **statics, tail_frames=TAIL,
-    )
-
-    # --- XKV pool path: pooled anchor writes columns, pooled inc scatters ---
+    tail_frames = 160
+    enc_lanes = jnp.arange(1, B + 1, dtype=jnp.int32)
     k, v = _pool(dims)
-    A.alignatt_tick_anchor_pooled(
-        params, jnp.asarray(audio5), k, v, jnp.arange(B, dtype=jnp.int32),
-        *core5, **statics,
+    out = A.alignatt_tick_anchor_pooled(
+        params, jnp.asarray(audio6), k, v, _enc_pool(dims), enc_lanes,
+        jnp.arange(B, dtype=jnp.int32), *core6, **statics,
     )
-    k2, v2 = _pool(dims)
-    out2 = A.alignatt_tick_anchor_pooled(
-        params, jnp.asarray(audio5), k2, v2, jnp.arange(B, dtype=jnp.int32),
-        *core5, **statics,
+    k, v, enc_pool = out[-3], out[-2], out[-1]
+    before_k = np.asarray(k).copy()
+
+    ts = content - tail_frames
+    ws = content - 50 - 16
+    inc = A.alignatt_tick_inc_pooled(
+        params, audio_i16, k, v, enc_pool,
+        jnp.arange(B, dtype=jnp.int32), enc_lanes,
+        jnp.full((B,), ts, jnp.int32), jnp.full((B,), content, jnp.int32),
+        jnp.full((B,), ws, jnp.int32),
+        *core6, **statics, tail_frames=tail_frames,
     )
-    k2, v2 = out2[-2], out2[-1]
-    inc_b = A.alignatt_tick_inc_pooled(
-        params, audio_i16, k2, v2, jnp.arange(B, dtype=jnp.int32),
-        jnp.full((B,), tail_start, jnp.int32), jnp.full((B,), content, jnp.int32),
-        jnp.full((B,), write_start, jnp.int32),
-        *core5, **statics, tail_frames=TAIL,
+    got_k = np.asarray(inc[-3])
+    rows_after = np.asarray(inc[-1])[1 : B + 1]  # updated cached rows
+    dst0 = ((content - 128) // 128) * 128  # 128
+
+    # the splice window must equal the projection of the UPDATED rows
+    from whisperlivekit_tpu.models.whisper import model as wm
+
+    ref = wm.cross_kv(
+        params, jnp.asarray(rows_after[:, dst0 : dst0 + W_SPLICE]), dims,
+        transposed=True,
+    )
+    np.testing.assert_allclose(
+        got_k[:, :, :, :, dst0 : dst0 + W_SPLICE], np.asarray(ref.k),
+        rtol=1e-5, atol=1e-5,
+    )
+    np.testing.assert_array_equal(got_k[:, :, :, :, :dst0], before_k[:, :, :, :, :dst0])
+    np.testing.assert_array_equal(
+        got_k[:, :, :, :, dst0 + W_SPLICE :], before_k[:, :, :, :, dst0 + W_SPLICE :]
     )
 
-    np.testing.assert_array_equal(np.asarray(inc_a[0]), np.asarray(inc_b[0]))
-    np.testing.assert_array_equal(np.asarray(inc_a[1]), np.asarray(inc_b[1]))
-    np.testing.assert_array_equal(np.asarray(inc_a[3]), np.asarray(inc_b[3]))
 
 
 def test_inactive_slots_write_nothing(setup):
@@ -178,17 +201,17 @@ def test_inactive_slots_write_nothing(setup):
     audio_i16 = jnp.asarray(
         (np.clip(audio5, -1, 1 - 1 / 32768) * 32768.0).astype(np.int16)
     )
-    core5 = _core(dims, suppress, aL, aH, content=250)
+    core5 = _core(dims, suppress, aL, aH, content=280)
     # slot 1 inactive: win_frames = 0 must leave its pool row untouched
-    win = jnp.asarray([250, 0], jnp.int32)
+    win = jnp.asarray([280, 0], jnp.int32)
     k, v = _pool(dims)
-    marker = k.at[:, 1].set(7.0)
     out = A.alignatt_tick_inc_pooled(
-        params, audio_i16, marker, v.at[:, 1].set(7.0),
-        jnp.arange(B, dtype=jnp.int32),
-        jnp.full((B,), 250 - TAIL, jnp.int32), win,
-        jnp.full((B,), 184, jnp.int32),
-        *core5, **statics, tail_frames=TAIL,
+        params, audio_i16, k.at[:, 1].set(7.0), v.at[:, 1].set(7.0),
+        _enc_pool(dims), jnp.arange(B, dtype=jnp.int32),
+        jnp.arange(1, B + 1, dtype=jnp.int32),
+        jnp.full((B,), 120, jnp.int32), win,
+        jnp.full((B,), 150, jnp.int32),
+        *core5, **statics, tail_frames=160,
     )
+    np.testing.assert_array_equal(np.asarray(out[-3][:, 1]), 7.0)
     np.testing.assert_array_equal(np.asarray(out[-2][:, 1]), 7.0)
-    np.testing.assert_array_equal(np.asarray(out[-1][:, 1]), 7.0)

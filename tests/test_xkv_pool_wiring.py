@@ -50,53 +50,54 @@ def engine():
     params = M.init_params(dims, jax.random.PRNGKey(0))
     tok = get_tokenizer(True, language="en", task="transcribe")
     cfg = AlignAttConfig(
-        language="en", max_steps=4, audio_max_len=4.0,
-        enc_tail_frames=128, enc_rewrite_margin=16, xkv_cache=True,
+        language="en", max_steps=4, audio_max_len=16.0,
+        enc_tail_frames=384, enc_rewrite_margin=16, xkv_cache=True,
     )
     return AlignAttEngine(params, dims, tok, cfg)
 
 
-def make_xkv_session(engine, audio_pool, alloc):
+def make_xkv_session(engine, audio_pool, alloc, enc_pool=None):
     s = AlignAttSession(engine)
     s.pool = audio_pool
     s.xkv_alloc = alloc
+    # pooled ticks project the splice window from cached encoder rows
+    s.enc_pool = enc_pool if enc_pool is not None else EncPool(
+        4, engine.dims, dtype=jnp.float32
+    )
     return s
 
 
-def test_xkv_session_matches_plain(engine):
-    """anchor tick then inc ticks through run_tick_batch: identical words to
-    a plain session (bf16 pool = exact; inc ticks share the tail-encode
-    approximation with the EncPool path, so compare against that)."""
+def test_xkv_session_mode_progression_and_anchor_parity(engine):
+    """A pooled session anchors on its first tick, runs aligned-splice inc
+    ticks afterwards, and its anchor ticks match a plain (pool-less)
+    session exactly. Pooled inc ticks re-project the aligned 256-column
+    window from the updated cached rows — value-equivalent to the EncPool
+    merge on the refreshed frames."""
     audio_pool = AudioPool(capacity=4)
     alloc = XKVAllocator(2, engine.dims, epoch_period=50)
     s = make_xkv_session(engine, audio_pool, alloc)
-
-    enc_pool_arr = EncPool(4, engine.dims, dtype=jnp.float32)
-    audio_pool2 = AudioPool(capacity=4)
-    ref = AlignAttSession(engine)
-    ref.pool = audio_pool2
-    ref.enc_pool = enc_pool_arr
+    plain = AlignAttSession(engine)
 
     modes = []
-    for i in range(3):
-        s.insert_audio(chunk(i))
-        ref.insert_audio(chunk(i))
+    for i in range(4):
+        s.insert_audio(chunk(i, seconds=2.0))
+        plain.insert_audio(chunk(i, seconds=2.0))
         ti = s.prepare_tick(False)
-        tr = ref.prepare_tick(False)
+        tp = plain.prepare_tick(False)
         assert ti.xkv_slot is not None and ti.xkv_gi == 0
         modes.append(ti.enc_mode)
-        assert ti.enc_mode == tr.enc_mode
-        got = run_tick_batch(engine, [ti], s.tokenizer, pool=audio_pool, xkv=alloc)
-        want = run_tick_batch(
-            engine, [tr], ref.tokenizer, pool=audio_pool2, enc_pool=enc_pool_arr
-        )
-        assert got[0].new_tokens == want[0].new_tokens
-        assert got[0].n_keep == want[0].n_keep
-        assert got[0].reason == want[0].reason
+        got = run_tick_batch(engine, [ti], s.tokenizer, pool=audio_pool, enc_pool=s.enc_pool, xkv=alloc)
+        want = run_tick_batch(engine, [tp], plain.tokenizer)
+        if ti.enc_mode == "anchor":
+            assert got[0].new_tokens == want[0].new_tokens
+            assert got[0].reason == want[0].reason
+        else:
+            assert got[0].n_keep <= engine.cfg.max_steps
         s.finish_tick(ti, got[0])
-        ref.finish_tick(tr, want[0])
+        plain.finish_tick(tp, want[0])
+    # first tick anchors; the aligned splice handles any later window size
     assert modes[0] == "anchor"
-    assert "inc" in modes[1:]
+    assert all(m == "inc" for m in modes[1:]), modes
 
 
 def test_epoch_synchronized_group_anchor(engine):
@@ -104,9 +105,12 @@ def test_epoch_synchronized_group_anchor(engine):
     anchors in the same window and the whole-group program serves them."""
     audio_pool = AudioPool(capacity=4)
     alloc = XKVAllocator(2, engine.dims, epoch_period=2)
-    s1 = make_xkv_session(engine, audio_pool, alloc)
-    s2 = make_xkv_session(engine, audio_pool, alloc)
+    shared_enc = EncPool(5, engine.dims, dtype=jnp.float32)
+    s1 = make_xkv_session(engine, audio_pool, alloc, shared_enc)
+    s2 = make_xkv_session(engine, audio_pool, alloc, shared_enc)
 
+    for j, s in enumerate((s1, s2)):  # pre-grow windows past W_SPLICE
+        s.insert_audio(chunk(90 + j, seconds=6.0))
     modes = []
     for i in range(5):
         tis = []
@@ -114,12 +118,13 @@ def test_epoch_synchronized_group_anchor(engine):
             s.insert_audio(chunk(10 * j + i))
             tis.append(s.prepare_tick(False))
         modes.append(tuple(t.enc_mode for t in tis))
-        outs = run_tick_batch(engine, tis, engine.tokenizer, pool=audio_pool, xkv=alloc)
+        outs = run_tick_batch(engine, tis, engine.tokenizer, pool=audio_pool, enc_pool=shared_enc, xkv=alloc)
         for s, t, o in zip((s1, s2), tis, outs):
             s.finish_tick(t, o)
     # tick 0: both anchor (first tick). epoch bumps after 2 inc group ticks;
     # the next prepared tick must re-anchor BOTH sessions together.
     assert modes[0] == ("anchor", "anchor")
+    assert ("inc", "inc") in modes, modes
     assert any(m == ("anchor", "anchor") for m in modes[2:]), modes
     assert alloc.groups[0].epoch >= 1
 

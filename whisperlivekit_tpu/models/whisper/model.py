@@ -502,6 +502,7 @@ def decode(
     enc_mask: Optional[jnp.ndarray] = None,  # [B, T_enc] bool — valid frames
     align_reduce: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
     xkv_transposed: bool = False,
+    t_valid: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray], KVCache]:
     """Teacher-forced step over S new tokens for every lane.
 
@@ -519,6 +520,10 @@ def decode(
     cross_kv) and routes cross-attention through ``_attend_t``. This is the
     decode-loop fast path: 6.0 ms/step vs 11.9 (f8+cast) / 15.0 (bf16
     default layout) at large-v3 B=16 on v5e (scripts/probe_xattn_tpu.py).
+
+    ``t_valid`` (static) masks cross-attention columns >= t_valid: the
+    group cross-KV pools pad T to a 128-multiple so the splice DMA can land
+    on tile boundaries; the padding columns must never receive attention.
     """
     dec = params["decoder"]
     B, S = tokens.shape
@@ -535,9 +540,15 @@ def decode(
     key_idx = jnp.arange(W, dtype=jnp.int32)[None, None, :]  # [1,1,W]
     self_mask = jnp.where(key_idx <= positions[:, :, None], 0.0, -jnp.inf).astype(jnp.float32)
 
+    T_enc_in = xkv.k.shape[-1] if xkv_transposed else xkv.k.shape[2]
     cross_mask = None
     if enc_mask is not None:
         cross_mask = jnp.where(enc_mask[:, None, :], 0.0, -jnp.inf).astype(jnp.float32)
+    if t_valid is not None and t_valid < T_enc_in:
+        pad_mask = jnp.where(
+            jnp.arange(T_enc_in)[None, None, :] < t_valid, 0.0, -jnp.inf
+        ).astype(jnp.float32)
+        cross_mask = pad_mask if cross_mask is None else cross_mask + pad_mask
 
     batch_idx = jnp.arange(B, dtype=jnp.int32)[:, None]  # [B,1]
 
@@ -554,6 +565,7 @@ def decode(
         and ENCODER_FLASH_ATTN
         and jax.default_backend() == "tpu"
     )
+    flash_t_valid = min(t_valid or T_enc_in, T_enc_in)
     if align is not None and align_reduce is not None:
         align_acc = (
             jnp.zeros((B, align.count, T_enc), jnp.float32),
@@ -594,7 +606,7 @@ def decode(
 
             xattn = flash_encoder_attn(
                 qx.transpose(0, 2, 1, 3), xk, xv,
-                t_valid=T_enc, v_transposed=True,
+                t_valid=flash_t_valid, v_transposed=True,
             ).transpose(0, 2, 1, 3)
             xprobs = None
         elif xkv_transposed:
@@ -658,6 +670,12 @@ def decode(
     logits = jnp.dot(
         x, dec["tok_emb"].T.astype(x.dtype), preferred_element_type=jnp.float32
     )
+    if align_acc is not None and t_valid is not None and t_valid < T_enc_in:
+        # padded pool columns carry zero attention; return T-true stats
+        if isinstance(align_acc, tuple):
+            align_acc = tuple(a[..., :t_valid] for a in align_acc)
+        else:
+            align_acc = align_acc[..., :t_valid]
     return logits, align_acc, KVCache(k=new_k, v=new_v)
 
 

@@ -50,6 +50,13 @@ DEC_PAD = 50257  # tokens >= this are special (reference align_att_base.py:10)
 # stop reasons
 RUNNING, STOP_EOT, STOP_GATE, STOP_REWIND, STOP_NOSPEECH, STOP_CAP, STOP_CTX = range(7)
 
+# Static splice width of the cross-KV cache (ops/xkv_merge.W_S): inc ticks
+# refresh exactly the last XKV_WRITE_BLOCK columns of each lane's window,
+# which turns the per-lane merge into one strided DMA. The session plan
+# re-anchors instead when a catch-up burst leaves frames older than
+# (XKV_WRITE_BLOCK - enc_rewrite_margin) unsynced.
+XKV_WRITE_BLOCK = 128
+
 
 @dataclass
 class AlignAttConfig:
@@ -262,6 +269,7 @@ def _tick_core(
     xkv_f8: bool = False,
     xkv_transposed: bool = True,
     xkv_pre: Optional[wm.CrossKV] = None,
+    xkv_t_valid: Optional[int] = None,
 ):
     """The decode phase of one streaming tick (everything after encoding).
 
@@ -324,7 +332,7 @@ def _tick_core(
     prefill_logits, (asum, asq, last_row), cache = wm.decode(
         params, prefix, jnp.zeros((B,), jnp.int32), xkv, cache, dims,
         align=align, align_reduce=(row_mask, last_onehot),
-        xkv_transposed=xkv_transposed,
+        xkv_transposed=xkv_transposed, t_valid=xkv_t_valid,
     )
     acount = prefix_len.astype(jnp.float32)
 
@@ -450,6 +458,7 @@ def _tick_core(
                 dims,
                 align=align,
                 xkv_transposed=xkv_transposed,
+                t_valid=xkv_t_valid,
             )
 
         def _skip_decode(cache):
@@ -615,14 +624,21 @@ def alignatt_tick_inc(
     mel = pad_or_trim(mel, 2 * tail_frames)
     enc_tail = wm.encode(params, mel, dims, pos_start=tail_start)  # [B, F_tail, D]
 
-    # --- merge into cached rows: t in [write_start, win) <- tail[t - tail_start] ---
+    # --- merge into cached rows: t in [ws_eff, win) <- tail[t - tail_start]
+    # (ws_eff widens the interval to the static XKV_WRITE_BLOCK so the
+    # EncPool and cross-KV-pool paths refresh identical columns) ---
+    Wb = XKV_WRITE_BLOCK
+    ws_eff = jnp.where(
+        win_frames >= Wb, jnp.minimum(write_start, win_frames - Wb), write_start
+    )
+    ws_eff = jnp.maximum(ws_eff, tail_start)  # tail coverage bound
     cached = enc_pool[enc_lanes]  # [B, T, D]
     t_idx = jnp.arange(T, dtype=jnp.int32)[None, :]
     src = jnp.clip(t_idx - tail_start[:, None], 0, tail_frames - 1)
     fresh = jnp.take_along_axis(
         enc_tail.astype(enc_pool.dtype), src[:, :, None], axis=1
     )
-    in_write = (t_idx >= write_start[:, None]) & (t_idx < win_frames[:, None])
+    in_write = (t_idx >= ws_eff[:, None]) & (t_idx < win_frames[:, None])
     enc_rows = jnp.where(in_write[:, :, None], fresh, cached)
     enc_pool = enc_pool.at[enc_lanes].set(enc_rows)
 
@@ -682,14 +698,16 @@ def _xkv_scatter_tail(pool_k, pool_v, tail_k, tail_v, write_start, tail_start, w
 @partial(
     jax.jit,
     static_argnames=_TICK_STATICS + ("tail_frames",),
-    donate_argnames=("xkv_k", "xkv_v"),
+    donate_argnames=("xkv_k", "xkv_v", "enc_pool"),
 )
 def alignatt_tick_inc_pooled(
     params,
     audio_pool,            # [W, N] int16 — device-resident audio windows
-    xkv_k,                 # [L, G, H, Dh, T] — per-group cross-KV cache (donated)
-    xkv_v,                 # [L, G, H, Dh, T] (donated)
+    xkv_k,                 # [L, G, H, Dh, Tp] — per-group cross-KV cache (donated)
+    xkv_v,                 # [L, G, H, Dh, Tp] (donated)
+    enc_pool,              # [cap, T, D] — cached encoder frames (donated)
     audio_lanes,           # [G] int32 — audio pool rows, slot order
+    enc_lanes,             # [G] int32 — enc_pool rows, slot order
     tail_start,            # [G] first encoder frame of the re-encoded tail
     win_frames,            # [G] current window extent (0 = inactive slot)
     write_start,           # [G] first frame whose features are (re)written
@@ -698,40 +716,80 @@ def alignatt_tick_inc_pooled(
     rewind_threshold, nonspeech_prob, active_in, cif_w, cif_b,
     dims, p_max, max_steps, eot, ts_begin, no_speech_tok, space_tok,
     use_cif=False, xkv_f8=False, xkv_transposed=True, mel_pallas=False,
-    tail_frames: int = 384,
+    tail_frames: int = 160,
 ):
-    """Incremental tick over a *group-resident cross-KV cache*: re-encode only
-    the window tail, project only the tail's cross-KV columns, scatter them
-    into the donated [L, G, H, Dh, T] pool, and decode straight off the pool.
+    """Incremental tick over a *group-resident cross-KV cache*.
+
+    Per tick: (1) re-encode only the window tail and merge it into the
+    cached encoder rows (EncPool — identical to alignatt_tick_inc); (2)
+    slice the aligned 256-column window [align128(win-128), +256) from the
+    UPDATED rows (a fast non-minor-axis gather) and project just those
+    columns' cross-KV; (3) splice them into the donated pool with one
+    strided DMA per lane (ops/xkv_merge.py — every XLA merge formulation
+    measured 40-134 ms; the aligned DMA is ~free); (4) decode straight off
+    the pool, its padding columns masked via ``t_valid``.
+
+    Columns outside [win-128, win) that fall in the splice window are
+    re-projections of their own cached encoder rows — bit-identical
+    rewrites — so the pool semantics equal the variable-width EncPool
+    merge. ``write_start`` must lie inside the splice window (the session
+    plan re-anchors on longer catch-up bursts).
 
     This removes the full-window cross-KV projection (~90 ms at large-v3
     G=24 on v5e) from the steady-state tick. Slot order IS batch order —
-    no gathers touch the pool (a dynamic per-layer lane gather measured 4.8x
-    slower than direct reads: docs/perf/probe_xkv_gather). The cached
-    columns are bit-identical to a recompute: the projection reduces over
-    the model dim only, so tiling over T cannot change the accumulation.
+    no gathers touch the pool (a dynamic per-layer lane gather measured
+    4.8x slower than direct reads: docs/perf/probe_xkv_gather).
 
-    Returns (*tick outputs, xkv_k', xkv_v')."""
+    Returns (*tick outputs, xkv_k', xkv_v', enc_pool')."""
+    from ..ops.xkv_merge import W_SPLICE, splice_dst0, xkv_splice, xkv_splice_ref
+
     assert not use_cif, "CIF needs full-window encoder features; use the EncPool path"
     G = audio_lanes.shape[0]
+    T = dims.n_audio_ctx
+    Tp = xkv_k.shape[-1]
     rows = audio_pool[audio_lanes]
 
+    # --- slice per-lane audio tails: (tail_frames+1) enc frames of samples ---
     S_tail = (tail_frames + 1) * 320
     samp_idx = tail_start[:, None] * 320 + jnp.arange(S_tail, dtype=jnp.int32)[None, :]
     tail = jnp.take_along_axis(rows, jnp.minimum(samp_idx, rows.shape[1] - 1), axis=1)
     tail = jnp.where(samp_idx < rows.shape[1], tail, 0)
     tail = tail.astype(jnp.float32) / 32768.0
 
+    # --- tail mel + encode at absolute positions ---
     mel = log_mel_spectrogram(
         tail, n_mels=dims.n_mels, precision=jax.lax.Precision.DEFAULT
     )
     mel = pad_or_trim(mel, 2 * tail_frames)
     enc_tail = wm.encode(params, mel, dims, pos_start=tail_start)  # [G, F, D]
 
-    fresh = wm.cross_kv(params, enc_tail, dims, transposed=True)
-    xkv_k, xkv_v = _xkv_scatter_tail(
-        xkv_k, xkv_v, fresh.k, fresh.v, write_start, tail_start, win_frames
+    # --- merge into cached rows (same interval as alignatt_tick_inc) ---
+    Wb = XKV_WRITE_BLOCK
+    ws_eff = jnp.where(
+        win_frames >= Wb, jnp.minimum(write_start, win_frames - Wb), write_start
     )
+    ws_eff = jnp.maximum(ws_eff, tail_start)
+    cached = enc_pool[enc_lanes]  # [G, T, D]
+    t_idx = jnp.arange(T, dtype=jnp.int32)[None, :]
+    src = jnp.clip(t_idx - tail_start[:, None], 0, tail_frames - 1)
+    fresh_rows = jnp.take_along_axis(
+        enc_tail.astype(enc_pool.dtype), src[:, :, None], axis=1
+    )
+    in_write = (t_idx >= ws_eff[:, None]) & (t_idx < win_frames[:, None])
+    enc_rows = jnp.where(in_write[:, :, None], fresh_rows, cached)
+    enc_pool = enc_pool.at[enc_lanes].set(enc_rows)
+
+    # --- project the aligned splice window from the UPDATED rows ---
+    dst0 = splice_dst0(win_frames, Tp)  # [G], 128-aligned
+    w_idx = dst0[:, None] + jnp.arange(W_SPLICE, dtype=jnp.int32)[None, :]
+    window_rows = jnp.take_along_axis(
+        enc_rows, jnp.minimum(w_idx, T - 1)[:, :, None], axis=1
+    ).astype(enc_tail.dtype)  # [G, 256, D]
+    fresh = wm.cross_kv(params, window_rows, dims, transposed=True)
+    if jax.default_backend() == "tpu":
+        xkv_k, xkv_v = xkv_splice(xkv_k, xkv_v, fresh.k, fresh.v, win_frames)
+    else:
+        xkv_k, xkv_v = xkv_splice_ref(xkv_k, xkv_v, fresh.k, fresh.v, win_frames)
 
     outs = _tick_core(
         params, None, prefix, prefix_len, sot_index, content_frames,
@@ -740,15 +798,18 @@ def alignatt_tick_inc_pooled(
         active_in, cif_w, cif_b, dims, p_max, max_steps, eot, ts_begin,
         no_speech_tok, space_tok, use_cif, xkv_f8, xkv_transposed,
         xkv_pre=wm.CrossKV(k=xkv_k, v=xkv_v),
+        xkv_t_valid=dims.n_audio_ctx if Tp > dims.n_audio_ctx else None,
     )
-    return outs + (xkv_k, xkv_v)
+    return outs + (xkv_k, xkv_v, enc_pool)
 
 
 @partial(
-    jax.jit, static_argnames=_TICK_STATICS, donate_argnames=("xkv_k", "xkv_v")
+    jax.jit,
+    static_argnames=_TICK_STATICS,
+    donate_argnames=("xkv_k", "xkv_v", "enc_pool"),
 )
 def alignatt_tick_anchor_pooled(
-    params, audio, xkv_k, xkv_v, slots,
+    params, audio, xkv_k, xkv_v, enc_pool, enc_lanes, slots,
     prefix, prefix_len, sot_index, content_frames, last_attend, is_last,
     max_new, suppress_mask, align_layers, align_heads, frame_threshold,
     rewind_threshold, nonspeech_prob, active_in, cif_w, cif_b,
@@ -766,9 +827,16 @@ def alignatt_tick_anchor_pooled(
 
     Returns (*tick outputs, xkv_k', xkv_v')."""
     enc = _tick_front(params, audio, dims, mel_pallas)
+    enc_pool = enc_pool.at[enc_lanes].set(enc.astype(enc_pool.dtype))
     fresh = wm.cross_kv(params, enc, dims, transposed=True)
-    xkv_k = xkv_k.at[:, slots].set(fresh.k.astype(xkv_k.dtype), mode="drop")
-    xkv_v = xkv_v.at[:, slots].set(fresh.v.astype(xkv_v.dtype), mode="drop")
+    Tp = xkv_k.shape[-1]
+    padw = ((0, 0),) * 4 + ((0, Tp - fresh.k.shape[-1]),)
+    xkv_k = xkv_k.at[:, slots].set(
+        jnp.pad(fresh.k.astype(xkv_k.dtype), padw), mode="drop"
+    )
+    xkv_v = xkv_v.at[:, slots].set(
+        jnp.pad(fresh.v.astype(xkv_v.dtype), padw), mode="drop"
+    )
     outs = _tick_core(
         params, enc, prefix, prefix_len, sot_index, content_frames,
         last_attend, is_last, max_new, suppress_mask, align_layers,
@@ -777,14 +845,16 @@ def alignatt_tick_anchor_pooled(
         no_speech_tok, space_tok, use_cif, xkv_f8, xkv_transposed,
         xkv_pre=fresh,
     )
-    return outs + (xkv_k, xkv_v)
+    return outs + (xkv_k, xkv_v, enc_pool)
 
 
 @partial(
-    jax.jit, static_argnames=_TICK_STATICS, donate_argnames=("xkv_k", "xkv_v")
+    jax.jit,
+    static_argnames=_TICK_STATICS,
+    donate_argnames=("xkv_k", "xkv_v", "enc_pool"),
 )
 def alignatt_tick_anchor_group(
-    params, audio, xkv_k, xkv_v,
+    params, audio, xkv_k, xkv_v, enc_pool, enc_lanes,
     prefix, prefix_len, sot_index, content_frames, last_attend, is_last,
     max_new, suppress_mask, align_layers, align_heads, frame_threshold,
     rewind_threshold, nonspeech_prob, active_in, cif_w, cif_b,
@@ -803,7 +873,11 @@ def alignatt_tick_anchor_group(
 
     Returns (*tick outputs, xkv_k', xkv_v')."""
     enc = _tick_front(params, audio, dims, mel_pallas)
+    keep = active_in[:, None, None]
+    enc_rows = jnp.where(keep, enc.astype(enc_pool.dtype), enc_pool[enc_lanes])
+    enc_pool = enc_pool.at[enc_lanes].set(enc_rows)
     pooled = wm.cross_kv_into_pool(params, enc, xkv_k, xkv_v, dims, active=active_in)
+    Tp = pooled.k.shape[-1]
     outs = _tick_core(
         params, enc, prefix, prefix_len, sot_index, content_frames,
         last_attend, is_last, max_new, suppress_mask, align_layers,
@@ -811,8 +885,9 @@ def alignatt_tick_anchor_group(
         active_in, cif_w, cif_b, dims, p_max, max_steps, eot, ts_begin,
         no_speech_tok, space_tok, use_cif, xkv_f8, xkv_transposed,
         xkv_pre=pooled,
+        xkv_t_valid=dims.n_audio_ctx if Tp > dims.n_audio_ctx else None,
     )
-    return outs + (pooled.k, pooled.v)
+    return outs + (pooled.k, pooled.v, enc_pool)
 
 
 class XKVGroupPool:
@@ -826,9 +901,10 @@ class XKVGroupPool:
 
     def __init__(self, group_width: int, dims: ModelDimensions, dtype=jnp.bfloat16):
         self.group_width = group_width
+        t_pad = -(-dims.n_audio_ctx // 128) * 128  # splice DMA tile alignment
         shape = (
             dims.n_text_layer, group_width, dims.n_text_head,
-            dims.head_dim, dims.n_audio_ctx,
+            dims.head_dim, t_pad,
         )
         self.k = jnp.zeros(shape, dtype)
         self.v = jnp.zeros(shape, dtype)
@@ -843,9 +919,10 @@ class XKVGroupPool:
     @staticmethod
     def row_bytes(dims: ModelDimensions, dtype) -> int:
         itemsize = jnp.dtype(dtype).itemsize
+        t_pad = -(-dims.n_audio_ctx // 128) * 128
         return (
             2 * dims.n_text_layer * dims.n_text_head * dims.head_dim
-            * dims.n_audio_ctx * itemsize
+            * t_pad * itemsize
         )
 
     def acquire(self) -> Optional[int]:
@@ -1205,10 +1282,14 @@ def run_tick_batch(
         if isinstance(mode, tuple):
             _, gi, enc_mode = mode
             if enc_mode == "inc":
-                res = _run_group_xkv_inc(engine, group, tokenizer, pool, xkv, gi)
+                res = _run_group_xkv_inc(
+                    engine, group, tokenizer, pool, enc_pool, xkv, gi
+                )
                 xkv.note_group_tick(gi)
             else:
-                res = _run_group_xkv_anchor(engine, group, tokenizer, pool, xkv, gi)
+                res = _run_group_xkv_anchor(
+                    engine, group, tokenizer, pool, enc_pool, xkv, gi
+                )
         elif mode == "inc":
             res = _run_group_inc(engine, group, tokenizer, pool, enc_pool)
         elif mode == "anchor":
@@ -1279,7 +1360,9 @@ def _run_group_inc(engine, ticks, tokenizer, pool, enc_pool) -> List[TickOutputs
 # ---------------------------------------------------------------------------
 
 
-def _run_group_xkv_inc(engine, ticks, tokenizer, pool, xkv, gi) -> List[TickOutputs]:
+def _run_group_xkv_inc(
+    engine, ticks, tokenizer, pool, enc_pool, xkv, gi
+) -> List[TickOutputs]:
     """Incremental ticks over a group-resident cross-KV pool.
 
     The program ALWAYS runs at the group's full width in slot order (the
@@ -1303,28 +1386,33 @@ def _run_group_xkv_inc(engine, ticks, tokenizer, pool, xkv, gi) -> List[TickOutp
                 out[sl] = v[perm[sl]]
         arr[k] = out
     audio_lanes = np.zeros(G, np.int32)
+    enc_lanes = np.full(G, EncPool.SCRATCH, np.int32)
     tail_start = np.zeros(G, np.int32)
     win_frames = np.zeros(G, np.int32)
     write_start = np.zeros(G, np.int32)
     for t in ticks:
         sl = t.xkv_slot
         audio_lanes[sl] = t.pool_lane
+        enc_lanes[sl] = t.enc_lane
         tail_start[sl] = t.tail_start
         win_frames[sl] = t.content_frames
         write_start[sl] = t.write_start
     args, statics = _core_device_args(engine, arr, tokenizer, p_max)
     raw = alignatt_tick_inc_pooled(
-        engine.params, pool.pool, g.k, g.v,
-        jnp.asarray(audio_lanes), jnp.asarray(tail_start),
-        jnp.asarray(win_frames), jnp.asarray(write_start),
+        engine.params, pool.pool, g.k, g.v, enc_pool.pool,
+        jnp.asarray(audio_lanes), jnp.asarray(enc_lanes),
+        jnp.asarray(tail_start), jnp.asarray(win_frames),
+        jnp.asarray(write_start),
         *args, **statics, tail_frames=engine.cfg.enc_tail_frames,
     )
-    g.k, g.v = raw[-2], raw[-1]
-    slot_outs = _scatter_outputs(raw[:-2], G, engine.cfg.max_steps)
+    g.k, g.v, enc_pool.pool = raw[-3], raw[-2], raw[-1]
+    slot_outs = _scatter_outputs(raw[:-3], G, engine.cfg.max_steps)
     return [slot_outs[sl] for sl in slot_of]
 
 
-def _run_group_xkv_anchor(engine, ticks, tokenizer, pool, xkv, gi) -> List[TickOutputs]:
+def _run_group_xkv_anchor(
+    engine, ticks, tokenizer, pool, enc_pool, xkv, gi
+) -> List[TickOutputs]:
     """Anchor ticks writing into a group's cross-KV pool rows.
 
     A majority of the group anchoring together (the epoch-synchronized
@@ -1348,15 +1436,18 @@ def _run_group_xkv_anchor(engine, ticks, tokenizer, pool, xkv, gi) -> List[TickO
                     out[sl] = v[perm[sl]]
             arr[k] = out
         lanes = [0] * G  # absent slots gather a throwaway row (inactive)
+        enc_lanes = np.full(G, EncPool.SCRATCH, np.int32)
         for t in ticks:
             lanes[t.xkv_slot] = t.pool_lane
+            enc_lanes[t.xkv_slot] = t.enc_lane
         audio = pool.gather(lanes)
         args, statics = _core_device_args(engine, arr, tokenizer, p_max)
         raw = alignatt_tick_anchor_group(
-            engine.params, jnp.asarray(audio), g.k, g.v, *args, **statics
+            engine.params, jnp.asarray(audio), g.k, g.v, enc_pool.pool,
+            jnp.asarray(enc_lanes), *args, **statics,
         )
-        g.k, g.v = raw[-2], raw[-1]
-        slot_outs = _scatter_outputs(raw[:-2], G, engine.cfg.max_steps)
+        g.k, g.v, enc_pool.pool = raw[-3], raw[-2], raw[-1]
+        slot_outs = _scatter_outputs(raw[:-3], G, engine.cfg.max_steps)
         return [slot_outs[sl] for sl in slot_of]
 
     outs: List[TickOutputs] = []
@@ -1369,14 +1460,17 @@ def _run_group_xkv_anchor(engine, ticks, tokenizer, pool, xkv, gi) -> List[TickO
         arr = _collect_lane_arrays(engine, chunk, tokenizer, B, p_max)
         audio = _gather_full_audio(chunk, pool, B)
         slots = np.full(B, G, np.int32)  # padded lanes -> OOB, dropped
+        enc_lanes = np.full(B, EncPool.SCRATCH, np.int32)
         for i, t in enumerate(chunk):
             slots[i] = t.xkv_slot
+            enc_lanes[i] = t.enc_lane
         args, statics = _core_device_args(engine, arr, tokenizer, p_max)
         raw = alignatt_tick_anchor_pooled(
-            engine.params, audio, g.k, g.v, jnp.asarray(slots), *args, **statics
+            engine.params, audio, g.k, g.v, enc_pool.pool,
+            jnp.asarray(enc_lanes), jnp.asarray(slots), *args, **statics,
         )
-        g.k, g.v = raw[-2], raw[-1]
-        outs.extend(_scatter_outputs(raw[:-2], n, engine.cfg.max_steps))
+        g.k, g.v, enc_pool.pool = raw[-3], raw[-2], raw[-1]
+        outs.extend(_scatter_outputs(raw[:-3], n, engine.cfg.max_steps))
     return outs
 
 # Shared engine + per-session state (host)
@@ -1660,39 +1754,51 @@ class AlignAttSession:
             return  # tail slicing needs the device-resident audio window
         if self.cfg.decoder_type == "beam" and self.cfg.beam_size > 1:
             return
-        use_xkv = self.xkv_alloc is not None and not self.engine.use_cif
+        use_xkv = (
+            self.xkv_alloc is not None
+            and self.enc_pool is not None  # pooled ticks project from cached rows
+            and not self.engine.use_cif
+        )
         if use_xkv and self.xkv_slot is None:
             got = self.xkv_alloc.acquire()
             if got is not None:
                 self.xkv_gi, self.xkv_slot = got
                 self._xkv_epoch_seen = self.xkv_alloc.groups[self.xkv_gi].epoch
-        if use_xkv and self.xkv_slot is not None:
-            pass  # plan below routes to the group pool programs
-        elif self.enc_pool is not None:
+        if self.enc_pool is not None:
             if self.enc_lane is None:
                 self.enc_lane = self.enc_pool.acquire()
-                if self.enc_lane is None:
-                    return  # cache exhausted: legacy full re-encode
+            if self.enc_lane is None:
+                return  # cache exhausted: legacy full re-encode
         else:
             return
         win = ti.content_frames
         key = (self._audio_gen, self.evicted_samples)
         tail = self.cfg.enc_tail_frames
         write_start = max(0, self._enc_synced_frames - self.cfg.enc_rewrite_margin)
+        pooled = use_xkv and self.xkv_slot is not None
+        if pooled:
+            # the pool splice re-projects the aligned 256-column window
+            # [align128(win-128), +256) from the updated rows: every
+            # unsynced frame must fall inside it (longer catch-up bursts
+            # re-anchor)
+            dst0 = max(0, ((win - 128) // 128) * 128)
+            splice_ok = write_start >= dst0
+        else:
+            splice_ok = True
         if (
             self._enc_key == key
             and 0 < self._enc_synced_frames <= win
             and win - write_start <= tail
+            and splice_ok
         ):
             ti.enc_mode = "inc"
             ti.write_start = write_start
             ti.tail_start = max(0, win - tail)
         else:
             ti.enc_mode = "anchor"
-        if use_xkv and self.xkv_slot is not None:
+        if pooled:
             ti.xkv_gi, ti.xkv_slot = self.xkv_gi, self.xkv_slot
-        else:
-            ti.enc_lane = self.enc_lane
+        ti.enc_lane = self.enc_lane
         ti.enc_commit = (key, win)
 
     def _attach_pool_update(self, ti: TickInputs, audio: np.ndarray) -> None:
