@@ -441,6 +441,7 @@ def cross_kv_into_pool(
     transient to one layer's K+V (~0.4 GB) and updates the pool in place."""
     n_head = dims.n_text_head
     G, T_, _ = enc.shape
+    Tp = pool_k.shape[-1]
     # XLA:CPU's DotThunk rejects BF16xBF16=F32 for some dot shapes
     if jax.default_backend() != "tpu" and enc.dtype == jnp.bfloat16:
         enc = enc.astype(jnp.float32)
@@ -451,7 +452,10 @@ def cross_kv_into_pool(
         if bias is not None:
             out = out + bias.astype(jnp.float32)[None, :, None]
         dh = out.shape[1] // n_head
-        return out.reshape(G, n_head, dh, T_)
+        out = out.reshape(G, n_head, dh, T_)
+        if Tp > T_:  # full-width row writes keep the per-layer DUS in place
+            out = jnp.pad(out, ((0, 0), (0, 0), (0, 0), (0, Tp - T_)))
+        return out
 
     sel = None if active is None else active[None, :, None, None, None]
 
