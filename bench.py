@@ -105,14 +105,16 @@ def _statics(dims):
 
 
 def time_call(fn, iters=4) -> float:
-    # Sync via host readback of a small per-lane output: block_until_ready is
-    # unreliable on the axon platform, and the real pipeline reads tokens
-    # back every tick anyway, so this is the honest per-tick latency.
-    np.asarray(fn()[1])  # warmup + compile
+    # Sync via host readback of the packed per-lane output: block_until_ready
+    # is unreliable on the axon platform, and the real pipeline reads the
+    # same packed array back every tick, so this is the honest per-tick
+    # latency (ticks return ONE packed int32 array — each extra fresh-array
+    # fetch costs a full ~40 ms tunnel round-trip).
+    np.asarray(fn()[0])  # warmup + compile
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn()
-        np.asarray(out[1])
+        np.asarray(out[0])
     return (time.perf_counter() - t0) / iters
 
 

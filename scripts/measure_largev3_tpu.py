@@ -76,7 +76,7 @@ def bench_model(name, widths, decode_steps=8):
     # -- full tick (outputs are already small: tokens/frames per lane) --
     def tick(*a):
         outs = alignatt_tick(*a, dims, 64, decode_steps, EOT, TS_BEGIN, NO_SPEECH, SPACE)
-        return outs[1].sum()  # n_keep — forces the whole program
+        return outs.sum()  # packed output — forces the whole program
 
     for B in widths:
         try:

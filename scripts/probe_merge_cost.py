@@ -51,10 +51,10 @@ def run(state):
 def timeit(iters=4):
     state = {"k": jnp.zeros(shape, dt), "v": jnp.zeros(shape, dt),
              "enc": jnp.zeros((B + 1, dims.n_audio_ctx, dims.n_audio_state), jnp.bfloat16)}
-    np.asarray(run(state)[1])
+    np.asarray(run(state)[0])
     t0 = time.perf_counter()
     for _ in range(iters):
-        np.asarray(run(state)[1])
+        np.asarray(run(state)[0])
     return (time.perf_counter() - t0) / iters * 1e3
 
 

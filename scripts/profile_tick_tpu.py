@@ -59,16 +59,16 @@ def main():
         state["k"], state["v"], state["enc"] = out[-3], out[-2], out[-1]
         return out
 
-    np.asarray(tick()[1])  # compile + warm
+    np.asarray(tick()[0])  # compile + warm
     import time
 
     t0 = time.perf_counter()
-    np.asarray(tick()[1])
+    np.asarray(tick()[0])
     print(f"tick: {(time.perf_counter()-t0)*1e3:.1f} ms", file=sys.stderr)
 
     jax.profiler.start_trace(TRACE_DIR)
     for _ in range(2):
-        np.asarray(tick()[1])
+        np.asarray(tick()[0])
     jax.profiler.stop_trace()
 
     # parse the perfetto trace: aggregate slice durations per op name

@@ -94,7 +94,7 @@ def test_pooled_anchor_equals_legacy(setup):
     core = _core(dims, suppress, aL, aH, content=200)
     statics = _statics(dims)
 
-    want = A.alignatt_tick(params, audio, *core, **statics)
+    want = A.alignatt_tick(params, audio, *core, **statics)  # packed [B, 2S+5]
 
     k, v = _pool(dims)
     got = A.alignatt_tick_anchor_pooled(
@@ -102,9 +102,7 @@ def test_pooled_anchor_equals_legacy(setup):
         jnp.arange(1, B + 1, dtype=jnp.int32),
         jnp.arange(B, dtype=jnp.int32), *core, **statics
     )
-    np.testing.assert_array_equal(np.asarray(want[0]), np.asarray(got[0]))  # tokens
-    np.testing.assert_array_equal(np.asarray(want[1]), np.asarray(got[1]))  # n_keep
-    np.testing.assert_array_equal(np.asarray(want[3]), np.asarray(got[3]))  # reason
+    np.testing.assert_array_equal(np.asarray(want), np.asarray(got[0]))
     # pool rows were written (non-zero where the projection is non-zero)
     assert float(jnp.abs(got[-3]).sum()) > 0
 
@@ -117,15 +115,21 @@ def test_group_anchor_equals_legacy(setup):
     core = _core(dims, suppress, aL, aH, content=200)
     statics = _statics(dims)
 
-    want = A.alignatt_tick(params, audio, *core, **statics)
+    want = np.asarray(A.alignatt_tick(params, audio, *core, **statics))
     k, v = _pool(dims)
     got = A.alignatt_tick_anchor_group(
         params, audio, k, v, _enc_pool(dims),
         jnp.arange(1, B + 1, dtype=jnp.int32), *core, **statics
     )
-    np.testing.assert_array_equal(np.asarray(want[0]), np.asarray(got[0]))
-    np.testing.assert_array_equal(np.asarray(want[1]), np.asarray(got[1]))
-    np.testing.assert_array_equal(np.asarray(want[3]), np.asarray(got[3]))
+    gotp = np.asarray(got[0])
+    # tokens/frames/stats bit-equal; no_speech_p (float bits, last column)
+    # may drift 1 ulp: the pooled decode softmaxes over masked padding
+    # columns, which reorders the f32 accumulation
+    np.testing.assert_array_equal(want[:, :-1], gotp[:, :-1])
+    np.testing.assert_allclose(
+        want[:, -1].view(np.float32), gotp[:, -1].view(np.float32),
+        rtol=1e-5, atol=1e-6,
+    )
     # the rebuilt pool matches the reference projection
     enc = A._tick_front(params, audio, dims, False)
     from whisperlivekit_tpu.models.whisper import model as wm

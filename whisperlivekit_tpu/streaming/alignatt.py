@@ -502,14 +502,24 @@ def _tick_core(
     # dropping them would re-decode + re-drop the same prefix every tick)
     reason = jnp.where(out["active"], STOP_CAP, out["reason"])
     n_keep = jnp.where(out["active"], jnp.int32(max_steps), out["n_keep"])
-    return (
-        out["new_tokens"],
-        n_keep,
-        out["frames"],
-        reason,
-        no_speech_p,
-        out["last_attend"],
-        fire,
+    # ONE packed int32 output [B, 2*max_steps + 5]: every np.asarray on a
+    # fresh device array costs a full tunnel round-trip on the axon
+    # platform (~40 ms measured); seven per tick made the host-side scatter
+    # ~8x the cost of the fetch itself. Layout: tokens | frames | n_keep |
+    # reason | last_attend | fire | no_speech_p (f32 bits).
+    return jnp.concatenate(
+        [
+            out["new_tokens"],
+            out["frames"],
+            n_keep[:, None],
+            reason[:, None],
+            out["last_attend"][:, None],
+            fire.astype(jnp.int32)[:, None],
+            jax.lax.bitcast_convert_type(no_speech_p.astype(jnp.float32), jnp.int32)[
+                :, None
+            ],
+        ],
+        axis=1,
     )
 
 
@@ -564,7 +574,7 @@ def alignatt_tick_anchor(
         active_in, cif_w, cif_b, dims, p_max, max_steps, eot, ts_begin,
         no_speech_tok, space_tok, use_cif, xkv_f8, xkv_transposed,
     )
-    return outs + (enc_pool,)
+    return (outs, enc_pool)
 
 
 @partial(
@@ -649,7 +659,7 @@ def alignatt_tick_inc(
         nonspeech_prob, active_in, cif_w, cif_b, dims, p_max, max_steps, eot,
         ts_begin, no_speech_tok, space_tok, use_cif, xkv_f8, xkv_transposed,
     )
-    return outs + (enc_pool,)
+    return (outs, enc_pool)
 
 
 def _xkv_scatter_tail(pool_k, pool_v, tail_k, tail_v, write_start, tail_start, win):
@@ -800,7 +810,7 @@ def alignatt_tick_inc_pooled(
         xkv_pre=wm.CrossKV(k=xkv_k, v=xkv_v),
         xkv_t_valid=dims.n_audio_ctx if Tp > dims.n_audio_ctx else None,
     )
-    return outs + (xkv_k, xkv_v, enc_pool)
+    return (outs, xkv_k, xkv_v, enc_pool)
 
 
 @partial(
@@ -845,7 +855,7 @@ def alignatt_tick_anchor_pooled(
         no_speech_tok, space_tok, use_cif, xkv_f8, xkv_transposed,
         xkv_pre=fresh,
     )
-    return outs + (xkv_k, xkv_v, enc_pool)
+    return (outs, xkv_k, xkv_v, enc_pool)
 
 
 @partial(
@@ -887,7 +897,7 @@ def alignatt_tick_anchor_group(
         xkv_pre=pooled,
         xkv_t_valid=dims.n_audio_ctx if Tp > dims.n_audio_ctx else None,
     )
-    return outs + (pooled.k, pooled.v, enc_pool)
+    return (outs, pooled.k, pooled.v, enc_pool)
 
 
 class XKVGroupPool:
@@ -1217,9 +1227,17 @@ def _gather_full_audio(ticks: List[TickInputs], pool: Optional[AudioPool], B: in
 
 
 def _scatter_outputs(raw, n: int, max_steps: int) -> List[TickOutputs]:
-    new_tokens, n_keep, frames, reason, no_speech_p, last_attend_out, fire = (
-        np.asarray(x) for x in raw[:7]
-    )
+    """Unpack the single packed int32 tick output (see _tick_core's return:
+    one device array = one tunnel round-trip instead of seven)."""
+    packed = np.asarray(raw)
+    S = max_steps
+    new_tokens = packed[:, :S]
+    frames = packed[:, S : 2 * S]
+    n_keep = packed[:, 2 * S]
+    reason = packed[:, 2 * S + 1]
+    last_attend_out = packed[:, 2 * S + 2]
+    fire = packed[:, 2 * S + 3]
+    no_speech_p = packed[:, 2 * S + 4].view(np.float32)
     return [
         TickOutputs(
             new_tokens=[int(x) for x in new_tokens[i]],
@@ -1326,7 +1344,7 @@ def _run_group_anchor(engine, ticks, tokenizer, pool, enc_pool) -> List[TickOutp
         jnp.asarray(np.asarray(enc_lanes, np.int32)), *args, **statics,
     )
     enc_pool.pool = raw[-1]
-    return _scatter_outputs(raw[:-1], n, engine.cfg.max_steps)
+    return _scatter_outputs(raw[0], n, engine.cfg.max_steps)
 
 
 def _run_group_inc(engine, ticks, tokenizer, pool, enc_pool) -> List[TickOutputs]:
@@ -1354,7 +1372,7 @@ def _run_group_inc(engine, ticks, tokenizer, pool, enc_pool) -> List[TickOutputs
         *args, **statics, tail_frames=engine.cfg.enc_tail_frames,
     )
     enc_pool.pool = raw[-1]
-    return _scatter_outputs(raw[:-1], n, engine.cfg.max_steps)
+    return _scatter_outputs(raw[0], n, engine.cfg.max_steps)
 
 
 # ---------------------------------------------------------------------------
@@ -1406,7 +1424,7 @@ def _run_group_xkv_inc(
         *args, **statics, tail_frames=engine.cfg.enc_tail_frames,
     )
     g.k, g.v, enc_pool.pool = raw[-3], raw[-2], raw[-1]
-    slot_outs = _scatter_outputs(raw[:-3], G, engine.cfg.max_steps)
+    slot_outs = _scatter_outputs(raw[0], G, engine.cfg.max_steps)
     return [slot_outs[sl] for sl in slot_of]
 
 
@@ -1447,7 +1465,7 @@ def _run_group_xkv_anchor(
             jnp.asarray(enc_lanes), *args, **statics,
         )
         g.k, g.v, enc_pool.pool = raw[-3], raw[-2], raw[-1]
-        slot_outs = _scatter_outputs(raw[:-3], G, engine.cfg.max_steps)
+        slot_outs = _scatter_outputs(raw[0], G, engine.cfg.max_steps)
         return [slot_outs[sl] for sl in slot_of]
 
     outs: List[TickOutputs] = []
@@ -1470,7 +1488,7 @@ def _run_group_xkv_anchor(
             jnp.asarray(enc_lanes), jnp.asarray(slots), *args, **statics,
         )
         g.k, g.v, enc_pool.pool = raw[-3], raw[-2], raw[-1]
-        outs.extend(_scatter_outputs(raw[:-3], n, engine.cfg.max_steps))
+        outs.extend(_scatter_outputs(raw[0], n, engine.cfg.max_steps))
     return outs
 
 # Shared engine + per-session state (host)
