@@ -360,6 +360,9 @@ def run_tick_batch_beam(engine, ticks: List[TickInputs], tokenizer, beam: int) -
         tokenizer.no_speech,
         tokenizer.encode(" ")[0],
     )
+    for o in outs:  # overlap fetches: one tunnel round-trip each on axon
+        if hasattr(o, "copy_to_host_async"):
+            o.copy_to_host_async()
     new_tokens, n_keep, frames, reason, no_speech_p, last_attend_out, fire = [
         np.asarray(o) for o in outs
     ]

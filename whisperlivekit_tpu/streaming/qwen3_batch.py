@@ -226,6 +226,11 @@ class CausalBatchService:
             jnp.asarray(lanes), jnp.asarray(start), jnp.asarray(tpos),
             self.dims, h.eos_id, h.max_new,
         )
+        # overlap the two fetches: each fresh-array np.asarray is a full
+        # tunnel round-trip on axon (~40 ms measured)
+        for a in (toks, n):
+            if hasattr(a, "copy_to_host_async"):
+                a.copy_to_host_async()
         toks = np.asarray(toks)
         n = np.asarray(n)
         return [
