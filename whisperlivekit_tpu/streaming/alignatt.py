@@ -50,11 +50,11 @@ DEC_PAD = 50257  # tokens >= this are special (reference align_att_base.py:10)
 # stop reasons
 RUNNING, STOP_EOT, STOP_GATE, STOP_REWIND, STOP_NOSPEECH, STOP_CAP, STOP_CTX = range(7)
 
-# Static splice width of the cross-KV cache (ops/xkv_merge.W_S): inc ticks
-# refresh exactly the last XKV_WRITE_BLOCK columns of each lane's window,
-# which turns the per-lane merge into one strided DMA. The session plan
-# re-anchors instead when a catch-up burst leaves frames older than
-# (XKV_WRITE_BLOCK - enc_rewrite_margin) unsynced.
+# Encoder-row refresh width: inc ticks rewrite the cached encoder rows over
+# at least the last XKV_WRITE_BLOCK columns of each lane's window (matching
+# the cross-KV pool's aligned splice source, ops/xkv_merge.W_SPLICE / 2);
+# the session plan re-anchors when a catch-up burst leaves older frames
+# unsynced.
 XKV_WRITE_BLOCK = 128
 
 
@@ -660,49 +660,6 @@ def alignatt_tick_inc(
         ts_begin, no_speech_tok, space_tok, use_cif, xkv_f8, xkv_transposed,
     )
     return (outs, enc_pool)
-
-
-def _xkv_scatter_tail(pool_k, pool_v, tail_k, tail_v, write_start, tail_start, win):
-    """Write freshly projected tail cross-KV columns into the group pool.
-
-    pool_*: [L, G, H, Dh, T] (donated; G = group width, slot == lane order).
-    tail_*: [L, G, H, Dh, F] — projection of the re-encoded window tail
-    starting at encoder frame ``tail_start``. Column t in
-    [write_start, win) takes tail[t - tail_start]; lanes with win == 0
-    (padding / inactive slots) write nothing.
-
-    The per-lane column alignment (t <- t - tail_start) runs on the MXU as a
-    one-hot shift matmul — the same trick as the matmul-DFT mel. T is the
-    pool's minor axis (the decode fast path needs it there), so any
-    gather/scatter formulation indexes along the minor dim: XLA lowers that
-    to an element-granular gather (~130 ms at G=16) or, for `.at[..].set`
-    advanced indexing, a TRANSPOSED COPY of the whole pool (5.5 GB padded at
-    large-v3 G=24 bf16 — OOM), and a scan of per-lane dynamic_update_slices
-    compiles for ~11 min. The one-hot contraction sums exactly one product
-    per output column, so the merged values are exact."""
-    T = pool_k.shape[-1]
-    F = tail_k.shape[-1]
-    t_idx = jnp.arange(T, dtype=jnp.int32)[None, :]               # [1, T]
-    in_write = (t_idx >= write_start[:, None]) & (t_idx < win[:, None])  # [G,T]
-    src = t_idx - tail_start[:, None]                             # [G, T]
-    shift = (
-        src[:, None, :] == jnp.arange(F, dtype=jnp.int32)[None, :, None]
-    ).astype(tail_k.dtype)                                        # [G, F, T]
-    sel = in_write[None, :, None, None, :]
-
-    # XLA:CPU's DotThunk rejects BF16xBF16=F32; upcast off-TPU (the one-hot
-    # contraction is exact in any float dtype wide enough for the values)
-    cpu = jax.default_backend() != "tpu"
-
-    def merge(pool, tail):
-        t = tail.astype(jnp.float32) if cpu else tail
-        sh = shift.astype(jnp.float32) if cpu else shift.astype(tail.dtype)
-        fresh = jnp.einsum(
-            "lgxdf,gft->lgxdt", t, sh, preferred_element_type=jnp.float32
-        ).astype(pool.dtype)
-        return jnp.where(sel, fresh, pool)
-
-    return merge(pool_k, tail_k), merge(pool_v, tail_v)
 
 
 @partial(
