@@ -25,7 +25,7 @@ from whisperlivekit_tpu.models.whisper.dims import MODEL_DIMS
 from whisperlivekit_tpu.streaming import alignatt as A
 
 NAME = "large-v3"
-B = 24
+B = 32
 TAIL = 160
 TRACE_DIR = "/tmp/tick_trace"
 

@@ -57,6 +57,11 @@ RUNNING, STOP_EOT, STOP_GATE, STOP_REWIND, STOP_NOSPEECH, STOP_CAP, STOP_CTX = r
 # unsynced.
 XKV_WRITE_BLOCK = 128
 
+#: skip the last decode step's compute for exited lanes via lax.cond
+#: (A/B knob: the cond's branch capture can force defensive copies of the
+#: aliased cross-KV pools — measured via scripts/probe_merge_cost.py)
+DEAD_DECODE_SKIP = True
+
 
 @dataclass
 class AlignAttConfig:
@@ -469,9 +474,12 @@ def _tick_core(
             )
 
         will_continue = (k + 1 < max_steps) & jnp.any(active)
-        new_logits, step_aprobs, cache = jax.lax.cond(
-            will_continue, _do_decode, _skip_decode, s["cache"]
-        )
+        if DEAD_DECODE_SKIP:
+            new_logits, step_aprobs, cache = jax.lax.cond(
+                will_continue, _do_decode, _skip_decode, s["cache"]
+            )
+        else:
+            new_logits, step_aprobs, cache = _do_decode(s["cache"])
         step_row = step_aprobs.transpose(1, 0, 2, 3)[:, :, 0, :]  # [B,K,T]
         upd = active.astype(jnp.float32)[:, None, None]
         asum = s["asum"] + step_row * upd
