@@ -79,15 +79,20 @@ def main():
     with gzip.open(sorted(traces)[-1]) as f:
         data = json.load(f)
     durs = defaultdict(float)
+    metas = {}
     for ev in data.get("traceEvents", []):
         if ev.get("ph") == "X" and "dur" in ev:
             name = ev.get("name", "?")
             durs[name] += ev["dur"]
+            args = ev.get("args") or {}
+            meta = args.get("long_name") or args.get("op_name") or args.get("source") or ""
+            if meta and name not in metas:
+                metas[name] = str(meta)
     top = sorted(durs.items(), key=lambda kv: -kv[1])[:40]
     total = sum(durs.values())
     print(f"total traced op time: {total/1e3:.1f} ms (2 ticks)")
     for name, d in top:
-        print(f"{d/1e3:9.2f} ms  {name[:120]}")
+        print(f"{d/1e3:9.2f} ms  {name[:60]}  | {metas.get(name, '')[:160]}")
 
 
 if __name__ == "__main__":

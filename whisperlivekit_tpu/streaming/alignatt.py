@@ -585,6 +585,31 @@ def alignatt_tick_anchor(
     return (outs, enc_pool)
 
 
+def _slice_audio_tails(rows, tail_start, tail_frames):
+    """Per-lane audio tail slice as a 128-sample ROW gather.
+
+    rows: [B, N] int16 (N % 128 == 0); tail_start [B] must be EVEN — an even
+    frame index puts the sample offset (tail_start*320) on a 128-sample
+    boundary (320 = 2.5*128), so the slice becomes a gather of contiguous
+    128-element rows instead of an element-granular minor-axis gather (which
+    XLA lowers scalar-wise: 33 ms/tick at large-v3 B=32, ~3.6x that at base
+    B=96 — the profiler's biggest non-compute op).
+    Returns [B, (tail_frames+1)*320] float32 in [-1, 1)."""
+    B, N = rows.shape
+    S_tail = (tail_frames + 1) * 320
+    n_rows = -(-S_tail // 128)
+    r3 = rows.reshape(B, N // 128, 128)
+    r0 = (tail_start * 320) // 128
+    idx = r0[:, None] + jnp.arange(n_rows, dtype=jnp.int32)[None, :]
+    take = jnp.take_along_axis(
+        r3, jnp.minimum(idx, N // 128 - 1)[:, :, None], axis=1
+    )
+    flat = take.reshape(B, n_rows * 128)[:, :S_tail]
+    samp_idx = tail_start[:, None] * 320 + jnp.arange(S_tail, dtype=jnp.int32)[None, :]
+    flat = jnp.where(samp_idx < N, flat, 0)
+    return flat.astype(jnp.float32) / 32768.0
+
+
 @partial(
     jax.jit,
     static_argnames=_TICK_STATICS + ("tail_frames",),
@@ -627,13 +652,12 @@ def alignatt_tick_inc(
     B = audio_lanes.shape[0]
     T = dims.n_audio_ctx
 
-    # --- slice per-lane audio tails: (tail_frames+1) enc frames of samples ---
-    S_tail = (tail_frames + 1) * 320
+    # --- slice per-lane audio tails: (tail_frames+1) enc frames of samples;
+    # tail_start rounds DOWN to even so the slice is an aligned row gather
+    # (coverage grows by <= 1 frame; an element gather costs 33+ ms/tick) ---
+    tail_start = tail_start - (tail_start & 1)
     rows = audio_pool[audio_lanes]  # [B, N_SAMPLES] int16
-    samp_idx = tail_start[:, None] * 320 + jnp.arange(S_tail, dtype=jnp.int32)[None, :]
-    tail = jnp.take_along_axis(rows, jnp.minimum(samp_idx, rows.shape[1] - 1), axis=1)
-    tail = jnp.where(samp_idx < rows.shape[1], tail, 0)
-    tail = tail.astype(jnp.float32) / 32768.0
+    tail = _slice_audio_tails(rows, tail_start, tail_frames)
 
     # --- tail mel + encode at absolute positions ---
     mel = log_mel_spectrogram(
@@ -724,12 +748,10 @@ def alignatt_tick_inc_pooled(
     Tp = xkv_k.shape[-1]
     rows = audio_pool[audio_lanes]
 
-    # --- slice per-lane audio tails: (tail_frames+1) enc frames of samples ---
-    S_tail = (tail_frames + 1) * 320
-    samp_idx = tail_start[:, None] * 320 + jnp.arange(S_tail, dtype=jnp.int32)[None, :]
-    tail = jnp.take_along_axis(rows, jnp.minimum(samp_idx, rows.shape[1] - 1), axis=1)
-    tail = jnp.where(samp_idx < rows.shape[1], tail, 0)
-    tail = tail.astype(jnp.float32) / 32768.0
+    # --- slice per-lane audio tails: (tail_frames+1) enc frames of samples;
+    # tail_start rounds DOWN to even so the slice is an aligned row gather ---
+    tail_start = tail_start - (tail_start & 1)
+    tail = _slice_audio_tails(rows, tail_start, tail_frames)
 
     # --- tail mel + encode at absolute positions ---
     mel = log_mel_spectrogram(
