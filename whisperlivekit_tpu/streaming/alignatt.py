@@ -1027,13 +1027,34 @@ def _pool_update(
 ):
     N = pool.shape[1]
     C = chunks.shape[1]
+    U = chunks.shape[0]
     rows = pool[lanes]
-    idx = jnp.arange(N, dtype=jnp.int32)[None, :] + shifts[:, None]
-    shifted = jnp.take_along_axis(rows, jnp.minimum(idx, N - 1), axis=1)
-    shifted = jnp.where(idx < N, shifted, 0)
+
+    # eviction shift: an element-granular minor-axis gather that XLA lowers
+    # scalar-wise (~30 ms at U=24); shifts are zero outside eviction epochs
+    # (1-in-15 ticks with epoch-synchronized eviction), so skip it then
+    def do_shift(r):
+        idx = jnp.arange(N, dtype=jnp.int32)[None, :] + shifts[:, None]
+        sh = jnp.take_along_axis(r, jnp.minimum(idx, N - 1), axis=1)
+        return jnp.where(idx < N, sh, 0)
+
+    shifted = jax.lax.cond(jnp.any(shifts > 0), do_shift, lambda r: r, rows)
+
+    # chunk write as a 128-sample ROW gather: `starts` are 128-aligned by
+    # the session host (samples before the watermark are resent to pad), so
+    # chunk element s - starts lives at row (s//128 - starts//128), lane
+    # s%128 — contiguous rows instead of an element gather
+    vals3 = jnp.take_along_axis(
+        chunks.reshape(U, C // 128, 128),
+        jnp.clip(
+            jnp.arange(N // 128, dtype=jnp.int32)[None, :] - starts[:, None] // 128,
+            0, C // 128 - 1,
+        )[:, :, None],
+        axis=1,
+    )
+    vals = vals3.reshape(U, N)
     pos = jnp.arange(N, dtype=jnp.int32)[None, :] - starts[:, None]
     in_chunk = (pos >= 0) & (pos < lens[:, None])
-    vals = jnp.take_along_axis(chunks, jnp.clip(pos, 0, C - 1), axis=1)
     new_rows = jnp.where(in_chunk, vals, shifted)
     return pool.at[lanes].set(new_rows)
 
@@ -1833,7 +1854,11 @@ class AlignAttSession:
         if incremental:
             shift = cur_start - synced[1]
             kept = synced[2] - shift
-            ti.pool_update = (shift, kept, to_i16(audio[kept:]))
+            # align the write start to a 128-sample boundary (resending the
+            # <=127 overlapping samples) so the device-side chunk write is a
+            # fast aligned row gather (_pool_update)
+            start_al = (kept // 128) * 128
+            ti.pool_update = (shift, start_al, to_i16(audio[start_al:]))
         else:
             ti.pool_update = (N_SAMPLES, 0, to_i16(audio))
         ti.pool_lane = self.pool_lane
