@@ -116,20 +116,23 @@ class SortformerDiarizationOnline:
         audio = self.buffer_audio[: self.chunk_samples]
         self.buffer_audio = self.buffer_audio[self.chunk_samples :]
 
-        mel = np.asarray(nemo_log_mel(jnp.asarray(audio[None]), self.dims.n_mels))
+        # mel and the left-context concat stay ON DEVICE: fetching the mel
+        # to host between the two programs costs a full tunnel round-trip
+        # (~40 ms on axon) per chunk
+        mel = nemo_log_mel(jnp.asarray(audio[None]), self.dims.n_mels)
         mel = mel[:, : self.dims.chunk_mel_frames]
         ctx = self.dims.left_ctx_mel_frames
         if self._prev_mel is not None:
-            feats = np.concatenate([self._prev_mel[:, -ctx:], mel], axis=1)
+            feats = jnp.concatenate([self._prev_mel[:, -ctx:], mel], axis=1)
             ctx_frames = ctx
         else:
             # first chunk: zero left context keeps the compiled shape unique
-            feats = np.concatenate([np.zeros_like(mel[:, :ctx]), mel], axis=1)
+            feats = jnp.concatenate([jnp.zeros_like(mel[:, :ctx]), mel], axis=1)
             ctx_frames = ctx
         self._prev_mel = mel
 
         probs, self.state = S.streaming_step(
-            self.shared.params, self.state, jnp.asarray(feats), self.dims,
+            self.shared.params, self.state, feats, self.dims,
             ctx_frames=ctx_frames,
         )
         segments = self._runs_to_segments(np.asarray(probs[0]))
