@@ -198,6 +198,58 @@ def test_pooled_inc_splices_per_spec(setup):
 
 
 
+def test_odd_tail_start_covers_newest_frame(setup):
+    """tail_start rounds UP to even on device: with an odd plan tail_start
+    the newest window frame must still be encoded and merged (a down-
+    rounding variant silently fed frame win-1 a duplicate of win-2)."""
+    dims, params, suppress, aL, aH = setup
+    statics = _statics(dims)
+    audio6 = _audio(6.0, seed=7)
+    audio_i16 = jnp.asarray(
+        (np.clip(audio6, -1, 1 - 1 / 32768) * 32768.0).astype(np.int16)
+    )
+    content, tail = 289, 160
+    ts_plan = content - tail + 1  # 130 -> odd 130? ensure odd:
+    ts_plan = ts_plan + (1 - ts_plan % 2)  # force odd
+    core = _core(dims, suppress, aL, aH, content=content)
+    k, v = _pool(dims)
+    out = A.alignatt_tick_anchor_pooled(
+        params, jnp.asarray(audio6), k, v, _enc_pool(dims),
+        jnp.arange(1, B + 1, dtype=jnp.int32),
+        jnp.arange(B, dtype=jnp.int32), *core, **statics,
+    )
+    k, v, enc_pool = out[-3], out[-2], out[-1]
+
+    inc = A.alignatt_tick_inc_pooled(
+        params, audio_i16, k, v, enc_pool,
+        jnp.arange(B, dtype=jnp.int32), jnp.arange(1, B + 1, dtype=jnp.int32),
+        jnp.full((B,), ts_plan, jnp.int32), jnp.full((B,), content, jnp.int32),
+        jnp.full((B,), content - 40, jnp.int32),
+        *core, **statics, tail_frames=tail,
+    )
+    rows_after = np.asarray(inc[-1])[1 : B + 1]
+
+    # reference: encode from the even-rounded origin and check the newest
+    # frame's row matches (not a stale/duplicated value)
+    from whisperlivekit_tpu.models.whisper import model as wm
+
+    ts_dev = ts_plan + (ts_plan & 1)
+    S_tail = (tail + 1) * 320
+    src = np.asarray(audio_i16).astype(np.float32) / 32768.0
+    buf = np.zeros((B, S_tail), np.float32)
+    seg = src[:, ts_dev * 320 : ts_dev * 320 + S_tail]
+    buf[:, : seg.shape[1]] = seg
+    mel = A.log_mel_spectrogram(
+        jnp.asarray(buf), n_mels=dims.n_mels, precision=jax.lax.Precision.DEFAULT
+    )
+    mel = A.pad_or_trim(mel, 2 * tail)
+    enc_tail = wm.encode(params, mel, dims, pos_start=jnp.full((B,), ts_dev, jnp.int32))
+    want_last = np.asarray(enc_tail)[:, content - 1 - ts_dev]
+    np.testing.assert_allclose(
+        rows_after[:, content - 1], want_last, rtol=1e-5, atol=1e-5
+    )
+
+
 def test_inactive_slots_write_nothing(setup):
     dims, params, suppress, aL, aH = setup
     statics = _statics(dims)

@@ -653,9 +653,11 @@ def alignatt_tick_inc(
     T = dims.n_audio_ctx
 
     # --- slice per-lane audio tails: (tail_frames+1) enc frames of samples;
-    # tail_start rounds DOWN to even so the slice is an aligned row gather
-    # (coverage grows by <= 1 frame; an element gather costs 33+ ms/tick) ---
-    tail_start = tail_start - (tail_start & 1)
+    # tail_start rounds UP to even so the slice is an aligned row gather (an
+    # element gather costs 33+ ms/tick at large-v3, ~145 ms at base B=96).
+    # Rounding up keeps the NEWEST frame (win-1) inside the tail; the plan
+    # reserves the 1-frame slack (win - write_start <= tail - 2) ---
+    tail_start = tail_start + (tail_start & 1)
     rows = audio_pool[audio_lanes]  # [B, N_SAMPLES] int16
     tail = _slice_audio_tails(rows, tail_start, tail_frames)
 
@@ -749,8 +751,8 @@ def alignatt_tick_inc_pooled(
     rows = audio_pool[audio_lanes]
 
     # --- slice per-lane audio tails: (tail_frames+1) enc frames of samples;
-    # tail_start rounds DOWN to even so the slice is an aligned row gather ---
-    tail_start = tail_start - (tail_start & 1)
+    # see alignatt_tick_inc: round UP to even for the aligned row gather
+    tail_start = tail_start + (tail_start & 1)
     tail = _slice_audio_tails(rows, tail_start, tail_frames)
 
     # --- tail mel + encode at absolute positions ---
@@ -1814,7 +1816,9 @@ class AlignAttSession:
         if (
             self._enc_key == key
             and 0 < self._enc_synced_frames <= win
-            and win - write_start <= tail
+            # tail - 2: the device rounds tail_start UP to even for the
+            # aligned audio row gather, shortening coverage by <= 1 frame
+            and win - write_start <= tail - 2
             and splice_ok
         ):
             ti.enc_mode = "inc"
