@@ -1508,7 +1508,11 @@ def _run_group_xkv_anchor(
 class AlignAttEngine:
     """Shared compiled engine: params + static config; sessions share it."""
 
-    PREFIX_BUCKETS = (64, 128, 256, 384)
+    # 32 serves the common early-session prefixes (sot sequence + a few
+    # committed tokens): prefill cost scales with the bucket width, so short
+    # prefixes decode ~2x cheaper than under a 64-wide floor. Widths stay
+    # multiples of 8 (the flash-prefill sublane constraint).
+    PREFIX_BUCKETS = (32, 64, 128, 256, 384)
 
     def __init__(
         self,
