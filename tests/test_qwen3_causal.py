@@ -326,3 +326,63 @@ def test_qwen3_causal_full_pipeline_e2e():
     final = asyncio.run(main())
     assert final is not None
     TranscriptionEngine.reset()
+
+
+# ---- reference qwen3_streaming knobs (reference config.py:104-149) ----------
+
+
+def test_segment_max_steps_forces_flush_with_carry(setup):
+    """A runaway hypothesis (segment_max_steps decode steps without a
+    sentence boundary) forces a segment flush; keep_tail/prompt-context
+    words are tokenized into the next segment's prime."""
+    dims, params = setup
+    holder = Qwen3CausalASR(
+        params, dims, window_s=30.0, max_new=8,
+        segment_max_steps=1, segment_keep_tail_steps=2, prompt_context_words=2,
+    )
+    assert holder.ctx_budget == Qwen3CausalASR.CTX_BUDGET
+    proc = Qwen3CausalProcessor(holder)
+    t = 0.0
+    committed = []
+    for i in range(3):
+        t += 1.0
+        proc.insert_audio_chunk(audio_seconds(1, seed=i), t)
+        tokens, _ = proc.process_iter()
+        committed.extend(tokens)
+    # with max_steps=1 every decoded hypothesis forces a flush: the window
+    # stays near-empty even though window_s is huge
+    assert proc.blocks_this_segment == 0
+    assert committed, "forced flush must commit the hypothesis"
+    # the committed tail is carried into the next prime
+    assert proc._carry_ids == holder.tokenizer.encode(
+        " ".join(proc._recent_words[-2:])
+    )[-holder.ctx_budget:]
+    assert proc._needs_prime
+    # the next tick re-primes with the carry and still streams
+    t += 1.0
+    proc.insert_audio_chunk(audio_seconds(1, seed=9), t)
+    proc.process_iter()
+    assert proc.text_pos >= len(holder.prompt_ids) + len(proc._carry_ids)
+
+
+def test_no_carry_without_knobs(setup):
+    """ctx_budget stays 0 (no cache growth) when neither carry knob is set."""
+    dims, params = setup
+    holder = Qwen3CausalASR(params, dims, window_s=2.0, max_new=8)
+    assert holder.ctx_budget == 0
+    proc = Qwen3CausalProcessor(holder)
+    t = 0.0
+    for i in range(5):
+        t += 1.0
+        proc.insert_audio_chunk(audio_seconds(1, seed=i), t)
+        proc.process_iter()
+    assert proc._carry_ids == []
+
+
+def test_static_context_extends_shared_prompt(setup):
+    """qwen3_context tokens join the shared prompt (same for every lane)."""
+    dims, params = setup
+    h0 = Qwen3CausalASR(params, dims, window_s=2.0)
+    h1 = Qwen3CausalASR(params, dims, window_s=2.0, context="t7 t8")
+    assert h1.prompt_ids == h0.prompt_ids + [7, 8]
+    assert h1.text_cache_len == h0.text_cache_len + 2

@@ -95,3 +95,54 @@ def test_finish_flushes_without_holdback():
     remaining, upto = p.finish()
     texts = [t.text for t in p.committed + remaining]
     assert "w0" in texts and "w2" in texts
+
+
+# ---- reference qwen3_streaming knobs (reference config.py:104-149) ----------
+
+
+def test_chunk_sec_gates_retranscription():
+    """chunk_sec: re-transcribe only once this much NEW audio accumulated."""
+    hyp = words(6)
+    asr = ScriptedASR()
+    asr.hypotheses = [hyp, hyp, hyp]
+    p = WindowedStreamingProcessor(asr, hold_back_words=0, chunk_sec=2.0)
+    p.insert_audio_chunk(np.zeros(16000, np.float32))  # 1 s < 2 s
+    out, _ = p.process_iter()
+    assert asr.calls == 0 and out == []
+    p.insert_audio_chunk(np.zeros(16000 * 2, np.float32))  # 3 s total
+    p.process_iter()
+    assert asr.calls == 1
+    p.process_iter()  # no new audio since the last transcription
+    assert asr.calls == 1
+
+
+def test_right_context_is_lookahead_only():
+    """right_context_ms: tokens inside the frontier span never commit."""
+    hyp = words(6)  # w_i spans [i, i+1] over 6 s of audio
+    p, asr = make_proc([hyp, hyp], hold_back=0)
+    p.right_context_sec = 1.5  # cutoff = 6 - 1.5 = 4.5 s
+    p.insert_audio_chunk(np.zeros(16000 * 6, np.float32))
+    p.process_iter()
+    committed, _ = p.process_iter()
+    texts = [t.text for t in committed]
+    assert "w3" in texts  # ends at 4.0 <= 4.5
+    assert "w4" not in texts and "w5" not in texts  # inside the frontier
+
+
+def test_static_context_prepends_prompt():
+    """context: static text ahead of the rolling committed-words prompt."""
+    captured = []
+
+    class PromptCapturingASR(ScriptedASR):
+        def transcribe(self, audio, init_prompt=""):
+            captured.append(init_prompt)
+            return super().transcribe(audio, init_prompt)
+
+    asr = PromptCapturingASR()
+    asr.hypotheses = [words(4)]
+    p = WindowedStreamingProcessor(asr, hold_back_words=0, context="medical dictation")
+    p.insert_audio_chunk(np.zeros(16000 * 4, np.float32))
+    p.process_iter()
+    p.finish()
+    assert all(c.startswith("medical dictation") for c in captured)
+    assert len(captured) == 2

@@ -100,10 +100,17 @@ class WLKConfig:
     # vLLM/Metal/CUDA device knobs are N/A on the TPU engine and warn+drop
     # through the reference-name aliases below) ------------------------------
     qwen3_audio_backend: str = "causal"      # causal | windowed
-    qwen3_block_frames: int = 100            # causal tower block (enc frames; 2 s)
+    qwen3_block_frames: int = 0              # causal tower block (enc frames; 0 = from chunk_sec)
+    qwen3_chunk_sec: float = 2.0             # causal block / windowed re-transcribe granularity
     qwen3_hold_back_words: int = 2           # frontier words held from commit
+    qwen3_right_context_ms: int = 640        # windowed: frontier time not yet committed
     qwen3_max_new_tokens: int = 48           # hypothesis budget per tick
     qwen3_window_sec: float = 15.0           # bounded audio window before reset
+    qwen3_segment_max_steps: int = 200       # hypothesis steps forcing a segment flush
+    qwen3_segment_keep_tail_steps: int = 0   # hypothesis tail carried across a forced flush
+    qwen3_stable_iterations: Optional[int] = None  # None = auto (1 causal, 2 windowed)
+    qwen3_context: str = ""                  # static text context prepended to the prompt
+    qwen3_prompt_context_words: int = 0      # committed words re-primed after segment reset
     qwen3_tower_checkpoint: Optional[str] = None
     holdback_words: int = 6                  # windowed-policy hold-back (reference name)
     trim_sentence_buffer: bool = False       # LA: trim at sentences, not segments
@@ -175,12 +182,22 @@ class WLKConfig:
 _REFERENCE_ALIASES = {
     "qwen3_streaming_audio_backend": "qwen3_audio_backend",
     "qwen3_streaming_block_frames": "qwen3_block_frames",
+    "qwen3_streaming_chunk_sec": "qwen3_chunk_sec",
     "qwen3_streaming_hold_back_words": "qwen3_hold_back_words",
+    "qwen3_streaming_right_context_ms": "qwen3_right_context_ms",
     "qwen3_streaming_max_new_tokens": "qwen3_max_new_tokens",
     "qwen3_streaming_left_context_sec": "qwen3_window_sec",
+    "qwen3_streaming_segment_max_steps": "qwen3_segment_max_steps",
+    "qwen3_streaming_segment_keep_tail_steps": "qwen3_segment_keep_tail_steps",
+    "qwen3_streaming_stable_iterations": "qwen3_stable_iterations",
+    "qwen3_streaming_context": "qwen3_context",
+    "qwen3_streaming_prompt_context_words": "qwen3_prompt_context_words",
     "qwen3_streaming_tower_checkpoint": "qwen3_tower_checkpoint",
     "qwen3_vllm_tower_checkpoint": "qwen3_tower_checkpoint",
     "qwen3_vllm_block_frames": "qwen3_block_frames",
+    "qwen3_vllm_segment_max_steps": "qwen3_segment_max_steps",
+    "qwen3_vllm_prompt_context_words": "qwen3_prompt_context_words",
+    "qwen3_vllm_left_context_sec": "qwen3_window_sec",
     "disable_punctuation_split": "no_punctuation_split",
 }
 

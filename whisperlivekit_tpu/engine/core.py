@@ -388,7 +388,11 @@ def online_factory(config: WLKConfig, asr, language: Optional[str] = None, sched
             backend = SessionASRProxy(backend, language)
         if config.backend_policy == "windowed":
             return WindowedStreamingProcessor(
-                backend, hold_back_words=getattr(config, "holdback_words", 6)
+                backend,
+                hold_back_words=getattr(config, "holdback_words", 6),
+                chunk_sec=getattr(config, "qwen3_chunk_sec", 0.0),
+                right_context_ms=getattr(config, "qwen3_right_context_ms", 0),
+                context=getattr(config, "qwen3_context", ""),
             )
         return OnlineASRProcessor(backend)
 

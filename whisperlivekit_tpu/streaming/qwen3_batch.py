@@ -159,8 +159,8 @@ class CausalBatchService:
     # TOKEN: a disconnect can leave ops queued after the worker task is
     # cancelled, and the lane may be re-acquired — dead ops must not touch it.
 
-    async def prime(self, token: "LaneToken") -> None:
-        await self.batcher.submit("prime", token)
+    async def prime(self, token: "LaneToken", ctx_ids: Optional[List[int]] = None) -> None:
+        await self.batcher.submit("prime", (token, list(ctx_ids or [])))
 
     async def append(self, token: "LaneToken", block: np.ndarray,
                      start_frame: int, text_pos: int) -> None:
@@ -178,12 +178,27 @@ class CausalBatchService:
     def _pad(n: int) -> int:
         return 1 << (n - 1).bit_length()
 
-    def _run_prime(self, tokens: List["LaneToken"]) -> List[None]:
+    def _run_prime(self, items: List[Tuple["LaneToken", List[int]]]) -> List[None]:
+        tokens = [it[0] for it in items]
         lanes = [t.lane if t.alive else CausalPools.SCRATCH for t in tokens]
         B = self._pad(len(lanes))
         lane_arr = np.full(B, CausalPools.SCRATCH, np.int32)
         lane_arr[: len(lanes)] = lanes
-        prompt = np.tile(np.asarray(self.holder.prompt_ids, np.int32), (B, 1))
+        # per-lane carry context, right-padded to the holder's fixed budget:
+        # padded positions sit at cache indices >= the lane's text_pos, are
+        # masked by the position-causal mask (llama.py forward) and are
+        # overwritten by the next audio block's sequential writes — so one
+        # prime program serves every carry length
+        ctx_budget = getattr(self.holder, "ctx_budget", 0)
+        prompt = np.tile(
+            np.asarray(self.holder.prompt_ids, np.int32), (B, 1)
+        )
+        if ctx_budget:
+            ctx = np.zeros((B, ctx_budget), np.int32)
+            for i, (_, ids) in enumerate(items):
+                ids = list(ids)[:ctx_budget]
+                ctx[i, : len(ids)] = ids
+            prompt = np.concatenate([prompt, ctx], axis=1)
         p = self.pools
         p.text_k, p.text_v = _prime_pooled(
             self.holder.params, p.text_k, p.text_v,

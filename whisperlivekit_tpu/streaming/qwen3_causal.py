@@ -57,6 +57,10 @@ class Qwen3CausalASR:
 
     sep = " "
 
+    #: fixed prompt-context pad budget (tokens): per-session carry ids are
+    #: right-padded to this length so the pooled prime stays one program
+    CTX_BUDGET = 32
+
     def __init__(
         self,
         params,
@@ -68,21 +72,43 @@ class Qwen3CausalASR:
         window_s: float = 15.0,
         hold_back_words: int = 2,
         max_new: int = 48,
+        context: str = "",
+        stable_iterations: Optional[int] = None,
+        segment_max_steps: int = 200,
+        segment_keep_tail_steps: int = 0,
+        prompt_context_words: int = 0,
     ):
         self.params = params
         self.dims = dims
         self.tokenizer = tokenizer or DebugWordTokenizer()
         self.prompt_ids = list(prompt_ids or [1, 2, 3])
+        if context:
+            # static text context (reference qwen3_streaming_context) becomes
+            # part of the shared prompt — identical for every lane, so the
+            # pooled prime's tiled-prompt fast path is preserved
+            self.prompt_ids.extend(self.tokenizer.encode(context))
         self.hyp_start_ids = list(hyp_start_ids or [4])
         self.eos_id = eos_id if eos_id is not None else getattr(self.tokenizer, "eos_id", 0)
         self.window_s = window_s
         self.hold_back_words = hold_back_words
         self.max_new = max_new
-        # decoder cache sized for prompt + every ADMITTED audio block
-        # (the flush policy admits ceil(window/block) blocks) + hypothesis
+        # reference auto rule: 2 for windowed re-encode, 1 for causal
+        self.stable_iterations = 1 if stable_iterations is None else max(1, stable_iterations)
+        self.segment_max_steps = max(1, segment_max_steps)
+        self.segment_keep_tail_steps = max(0, segment_keep_tail_steps)
+        self.prompt_context_words = max(0, prompt_context_words)
+        self.ctx_budget = (
+            self.CTX_BUDGET
+            if (self.prompt_context_words or self.segment_keep_tail_steps)
+            else 0
+        )
+        # decoder cache sized for prompt + carry context + every ADMITTED
+        # audio block (the flush policy admits ceil(window/block) blocks)
+        # + hypothesis
         window_tokens = dims.window_blocks(window_s) * dims.block_tokens
         self.text_cache_len = (
-            len(self.prompt_ids) + window_tokens + len(self.hyp_start_ids) + max_new + 8
+            len(self.prompt_ids) + self.ctx_budget + window_tokens
+            + len(self.hyp_start_ids) + max_new + 8
         )
 
 
@@ -98,12 +124,24 @@ def load_qwen3_causal(config) -> "Qwen3CausalASR":
 
     path = getattr(config, "qwen3_tower_checkpoint", None) or config.model_path
     window_s = float(getattr(config, "qwen3_window_sec", 15.0) or 15.0)
+    stable = getattr(config, "qwen3_stable_iterations", None)
     knobs = dict(
         window_s=window_s,
         hold_back_words=int(getattr(config, "qwen3_hold_back_words", 2)),
         max_new=int(getattr(config, "qwen3_max_new_tokens", 48)),
+        context=str(getattr(config, "qwen3_context", "") or ""),
+        stable_iterations=None if stable is None else int(stable),
+        segment_max_steps=int(getattr(config, "qwen3_segment_max_steps", 200)),
+        segment_keep_tail_steps=int(getattr(config, "qwen3_segment_keep_tail_steps", 0)),
+        prompt_context_words=int(getattr(config, "qwen3_prompt_context_words", 0)),
     )
     block_frames = int(getattr(config, "qwen3_block_frames", 0) or 0)
+    if not block_frames:
+        # block duration from chunk_sec (reference qwen3_streaming_chunk_sec):
+        # enc frames run at 50/s (block_samples = block_frames * 320 @ 16 kHz)
+        chunk_sec = float(getattr(config, "qwen3_chunk_sec", 2.0) or 2.0)
+        derived = max(10, int(round(chunk_sec * 50)))
+        block_frames = derived if derived != 100 else 0  # 100 = dims default
 
     if path and os.path.isdir(path) and os.path.isfile(os.path.join(path, "config.json")):
         with open(os.path.join(path, "config.json")) as f:
@@ -162,15 +200,21 @@ class _HFWordTokenizer:
 
 class StablePrefixCommitter:
     """Commit the agreed prefix of successive hypotheses, holding back the
-    frontier words still under revision."""
+    frontier words still under revision.
 
-    def __init__(self, hold_back: int):
+    ``stable_iters`` (reference ``qwen3_streaming_stable_iterations``) is how
+    many consecutive PREVIOUS hypotheses a prefix must agree with before it
+    commits: 1 = agree with the last hypothesis (the causal default), 2 = the
+    last two (the reference's windowed auto), etc."""
+
+    def __init__(self, hold_back: int, stable_iters: int = 1):
         self.hold_back = hold_back
-        self.prev: List[str] = []
+        self.stable_iters = max(1, stable_iters)
+        self.history: List[List[str]] = []
         self.n_committed = 0
 
     def reset(self) -> None:
-        self.prev = []
+        self.history = []
         self.n_committed = 0
 
     def step(self, words: List[str], final: bool = False) -> Tuple[List[str], List[str]]:
@@ -178,13 +222,20 @@ class StablePrefixCommitter:
         if final:
             stable = len(words)
         else:
+            # not enough history yet => nothing is stable
             stable = 0
-            for a, b in zip(self.prev, words):
-                if a != b:
-                    break
-                stable += 1
+            if len(self.history) >= self.stable_iters:
+                stable = len(words)
+                for prev in self.history[-self.stable_iters:]:
+                    agree = 0
+                    for a, b in zip(prev, words):
+                        if a != b:
+                            break
+                        agree += 1
+                    stable = min(stable, agree)
             stable = min(stable, max(len(words) - self.hold_back, 0))
-        self.prev = list(words)
+        self.history.append(list(words))
+        del self.history[: -self.stable_iters]
         new = words[self.n_committed : stable] if stable > self.n_committed else []
         if stable > self.n_committed:
             self.n_committed = stable
@@ -205,7 +256,9 @@ class Qwen3CausalProcessor:
         self.stream_time = 0.0          # audio-stream clock (insert end times)
         self.time_base = 0.0            # segment start in stream time
         self.audio_buffer = np.zeros(0, np.float32)
-        self.committer = StablePrefixCommitter(holder.hold_back_words)
+        self.committer = StablePrefixCommitter(
+            holder.hold_back_words, holder.stable_iterations
+        )
         self.buffer_tail: List[str] = []
         self._segment_committed_end = 0.0
         self.n_blocks_encoded = 0       # cumulative; tests pin encode-once
@@ -214,6 +267,9 @@ class Qwen3CausalProcessor:
         self.frames_filled = 0
         self.text_pos = len(holder.prompt_ids)
         self.blocks_this_segment = 0
+        self._recent_words: List[str] = []  # committed tail for prompt carry
+        self._carry_ids: List[int] = []     # context re-primed after a reset
+        self._last_hyp_steps = 0            # hypothesis length at the last decode
         if service is not None:
             # async variants discovered by AudioProcessor._infer; the
             # OpBatcher packs concurrent sessions' ops into shared programs
@@ -231,7 +287,8 @@ class Qwen3CausalProcessor:
         self.text_cache = lm.init_cache(
             self.dims.text, B, h.text_cache_len, dtype=self._dtype()
         )
-        prompt = jnp.asarray([h.prompt_ids], jnp.int32)
+        ids = h.prompt_ids + self._carry_ids
+        prompt = jnp.asarray([ids], jnp.int32)
         _, self.text_cache = lm.forward(
             h.params["text"],
             lm.embed_tokens(h.params["text"], prompt),
@@ -251,25 +308,38 @@ class Qwen3CausalProcessor:
                 from .qwen3_batch import LaneToken
 
                 self._lane_token = LaneToken(lane)
-            await self.service.prime(self._lane_token)
+            await self.service.prime(self._lane_token, self._carry_ids)
         else:
             self._local_prime()
+        self.text_pos = len(self.h.prompt_ids) + len(self._carry_ids)
         self._needs_prime = False
 
     def _dtype(self):
         return self.h.params["text"]["tok_emb"].dtype
 
-    def _segment_reset(self) -> None:
+    def _segment_reset(self, keep_tail_steps: int = 0) -> None:
         """Drop the audio window + caches (re-primed lazily at the next
         tick); text continuity lives in the committed transcript (constant
-        memory for unbounded streams)."""
+        memory for unbounded streams).
+
+        ``prompt_context_words`` committed words — plus ``keep_tail_steps``
+        extra on a forced (max-steps) flush — are tokenized and carried into
+        the next segment's prompt at the lazy re-prime, bounded by the fixed
+        ``ctx_budget`` so pooled lanes share one prime program."""
+        h = self.h
         self.time_base = self._appended_time()
         self.committer.reset()
         self.buffer_tail = []
         self._samples_appended = 0
         self.frames_filled = 0
-        self.text_pos = len(self.h.prompt_ids)
         self.blocks_this_segment = 0
+        carry_n = max(h.prompt_context_words, keep_tail_steps)
+        if carry_n and h.ctx_budget and self._recent_words:
+            text = " ".join(self._recent_words[-carry_n:])
+            self._carry_ids = h.tokenizer.encode(text)[-h.ctx_budget:]
+        else:
+            self._carry_ids = []
+        self.text_pos = len(h.prompt_ids) + len(self._carry_ids)
         self._needs_prime = True
 
     # ---- contract: audio in ---------------------------------------------------
@@ -339,11 +409,27 @@ class Qwen3CausalProcessor:
             and self.blocks_this_segment > 1
             and any(_has_punct(w) for w in words)
         )
-        new_words, tail = self.committer.step(words, final=is_last or sentence_done)
+        # a runaway hypothesis (no sentence boundary for segment_max_steps
+        # decode steps) forces the same flush, optionally carrying the
+        # hypothesis tail into the next segment's prompt
+        steps_exhausted = (
+            not is_last
+            and not sentence_done
+            and self._last_hyp_steps >= self.h.segment_max_steps
+        )
+        new_words, tail = self.committer.step(
+            words, final=is_last or sentence_done or steps_exhausted
+        )
         self.buffer_tail = tail
+        if new_words:
+            self._recent_words.extend(new_words)
+            del self._recent_words[: -max(self.h.prompt_context_words,
+                                          self.h.segment_keep_tail_steps, 1)]
         tokens = self._timestamp(new_words, processed)
         if sentence_done:
             self._segment_reset()
+        elif steps_exhausted:
+            self._segment_reset(keep_tail_steps=self.h.segment_keep_tail_steps)
         return tokens, processed
 
     def _window_full(self) -> bool:
@@ -356,8 +442,12 @@ class Qwen3CausalProcessor:
         """Window overflow between sentences: commit what we have, reset."""
         words = await self._op_decode_words()
         new_words, _ = self.committer.step(words, final=True)
+        if new_words:
+            self._recent_words.extend(new_words)
+            del self._recent_words[: -max(self.h.prompt_context_words,
+                                          self.h.segment_keep_tail_steps, 1)]
         self._pending_overflow_tokens = self._timestamp(new_words, self._appended_time())
-        self._segment_reset()
+        self._segment_reset(keep_tail_steps=self.h.segment_keep_tail_steps)
 
     async def _op_append(self, block: np.ndarray) -> None:
         if self.service is not None:
@@ -392,6 +482,7 @@ class Qwen3CausalProcessor:
                 h.eos_id, self.dims, max_new=h.max_new,
             )
             ids = [int(x) for x in np.asarray(toks[0])[: int(n[0])]]
+        self._last_hyp_steps = len(ids)
         text = h.tokenizer.decode(ids)
         return text.split()
 

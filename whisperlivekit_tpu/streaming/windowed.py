@@ -32,17 +32,45 @@ class WindowedStreamingProcessor(OnlineASRProcessor):
         window_sec: float = 12.0,
         hold_back_words: int = 6,
         sentence_reset: bool = True,
+        chunk_sec: float = 0.0,
+        right_context_ms: int = 0,
+        context: str = "",
     ):
         super().__init__(asr)
         self.window_sec = window_sec
         self.hold_back_words = hold_back_words
         self.sentence_reset = sentence_reset
+        # reference qwen3_streaming_chunk_sec: re-transcribe only after this
+        # much new audio accumulated (0 = every update)
+        self.chunk_sec = max(0.0, chunk_sec)
+        # reference qwen3_streaming_right_context_ms: the frontier span is
+        # lookahead context — tokens inside it never commit this update
+        self.right_context_sec = max(0, right_context_ms) / 1000.0
+        # reference qwen3_streaming_context: static text prepended to the
+        # rolling committed-words prompt
+        self.context = context
+        self._last_transcribed_upto = 0.0
 
     def process_iter(self) -> Tuple[List[ASRToken], float]:
         processed_upto = self.get_audio_buffer_end_time()
+        if (
+            self.chunk_sec
+            and processed_upto - self._last_transcribed_upto < self.chunk_sec
+        ):
+            return [], self._last_transcribed_upto
+        self._last_transcribed_upto = processed_upto
         prompt_text, _ = self.prompt()
+        if self.context:
+            prompt_text = (self.context + " " + (prompt_text or "")).strip()
         res = self.asr.transcribe(self.audio_buffer, init_prompt=prompt_text)
         tokens = self.asr.ts_words(res)
+
+        # time-based frontier hold-back: the last right_context_ms of audio
+        # is lookahead only
+        if self.right_context_sec > 0:
+            buffer_duration = len(self.audio_buffer) / self.SAMPLING_RATE
+            cutoff = buffer_duration - self.right_context_sec
+            tokens = [t for t in tokens if t.end <= cutoff]
 
         # hold back the frontier words: they are still under revision
         if self.hold_back_words > 0 and len(tokens) > self.hold_back_words:
@@ -76,6 +104,8 @@ class WindowedStreamingProcessor(OnlineASRProcessor):
     def finish(self) -> Tuple[List[ASRToken], float]:
         """Flush without hold-back: final hypothesis is as good as it gets."""
         prompt_text, _ = self.prompt()
+        if self.context:
+            prompt_text = (self.context + " " + (prompt_text or "")).strip()
         if len(self.audio_buffer) >= int(0.2 * self.SAMPLING_RATE):
             res = self.asr.transcribe(self.audio_buffer, init_prompt=prompt_text)
             tokens = self.asr.ts_words(res)
