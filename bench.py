@@ -228,6 +228,9 @@ def bench_model(name: str, widths, results: dict, tail_frames=384, dtypes=("bf16
 
 def main() -> None:
     sys.path.insert(0, ".")
+    from whisperlivekit_tpu.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     results: dict = {}
     headline = 0.0
     for name, widths, tail, dtypes, is_headline in SWEEP:

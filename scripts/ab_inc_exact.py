@@ -1,0 +1,258 @@
+"""A/B: incremental-encode serving mode vs exact full-window ticks.
+
+The default serving mode approximates the reference's exact re-encode
+(reference simul_whisper/simul_whisper.py:299-352 recomputes the encoder
+over the FULL audio window every chunk): each inc tick re-encodes only a
+~tail_frames window tail with tail-local attention against cached
+anchor-time frames (streaming/alignatt.py alignatt_tick_inc*), and a full
+re-anchor runs once per eviction block. This script bounds the
+approximation error of that mode — measurable today with random weights —
+over multi-minute structured streams:
+
+1. **Encoder-output divergence**: after every inc tick, the session's
+   cached encoder rows vs an exact full-window encode of the identical
+   audio (a twin session forced to anchor every tick; the anchor program's
+   rows are pinned exact by tests/test_incremental_encode.py). Reported as
+   max / mean abs error and relative to the exact-frame RMS.
+2. **Attention-gate frame flips**: per tick, the most-attended frame
+   (`last_attend`, the gate's input) of the inc session vs an exact
+   legacy-program session fed the same audio: flip rate + mean |Δframes|.
+3. **Committed-token agreement**: token-stream agreement (difflib ratio +
+   token error rate) between the two modes over the whole stream.
+
+Weights are random: absolute WER is meaningless, but mode-vs-mode
+divergence through the identical decode machinery is the quantity VERDICT
+round 2 asked to bound (the real-weight WER A/B wiring is
+scripts/run_scatter_benchmark.py --compare-exact the day egress exists).
+
+Usage (TPU host):
+    python scripts/ab_inc_exact.py --models base large-v3 --minutes 5 \
+        --out docs/perf/ab_inc_exact_r3.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import difflib
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+sys.path.insert(0, str(REPO / "scripts"))
+
+from bench_e2e_serving import speech_like  # noqa: E402
+
+SR = 16000
+
+
+def build_engine(model: str, frame_threshold: int, xkv_dtype: str):
+    import jax
+    import jax.numpy as jnp
+
+    from whisperlivekit_tpu.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
+
+    from whisperlivekit_tpu.models.whisper import model as wm
+    from whisperlivekit_tpu.models.whisper.dims import MODEL_DIMS
+    from whisperlivekit_tpu.models.whisper.tokenizer import get_tokenizer
+    from whisperlivekit_tpu.streaming.alignatt import AlignAttConfig, AlignAttEngine
+
+    dims = MODEL_DIMS[model]
+    params = wm.init_params(dims, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+    tok = get_tokenizer(True, language="en", task="transcribe")
+    cfg = AlignAttConfig(
+        language="en",
+        frame_threshold=frame_threshold,
+        xkv_cache_dtype=xkv_dtype,
+    )
+    return AlignAttEngine(params, dims, tok, cfg)
+
+
+def make_inc_session(engine, group_width: int = 1):
+    """Session wired the way the scheduler wires production lanes
+    (engine/scheduler.py __init__): audio pool + enc pool, plus the
+    group-resident cross-KV pool for d>=1280 models."""
+    import jax.numpy as jnp
+
+    from whisperlivekit_tpu.streaming.alignatt import (
+        AlignAttSession,
+        AudioPool,
+        EncPool,
+        XKVAllocator,
+    )
+
+    s = AlignAttSession(engine)
+    s.pool = AudioPool(capacity=4)
+    dtype = engine.params["decoder"]["tok_emb"].dtype
+    s.enc_pool = EncPool(3, engine.dims, dtype=dtype)
+    cfg = engine.cfg
+    use_xkv = (
+        cfg.xkv_cache == "auto" and engine.dims.n_audio_state >= 1280
+    ) or cfg.xkv_cache is True
+    if use_xkv and not engine.use_cif:
+        xdt = jnp.float8_e4m3fn if cfg.xkv_cache_dtype == "f8" else dtype
+        s.xkv_alloc = XKVAllocator(group_width, engine.dims, dtype=xdt)
+    return s
+
+
+def enc_err_fn():
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def err(pool_a, lane_a, pool_c, lane_c, win):
+        a = pool_a[lane_a].astype(jnp.float32)
+        c = pool_c[lane_c].astype(jnp.float32)
+        mask = (jnp.arange(a.shape[0]) < win)[:, None].astype(jnp.float32)
+        d = jnp.abs(a - c) * mask
+        n = jnp.maximum(jnp.sum(mask) * a.shape[1], 1.0)
+        rms = jnp.sqrt(jnp.sum((c * mask) ** 2) / n)
+        return jnp.stack([jnp.max(d), jnp.sum(d) / n, rms])
+
+    return err
+
+
+def run_model(model: str, minutes: float, frame_threshold: int, xkv_dtype: str,
+              enc_every: int) -> dict:
+    import jax.numpy as jnp
+
+    from whisperlivekit_tpu.streaming.alignatt import AlignAttSession, run_tick_batch
+
+    engine = build_engine(model, frame_threshold, xkv_dtype)
+    tok = engine.tokenizer
+    s_inc = make_inc_session(engine)          # production incremental mode
+    s_exact = AlignAttSession(engine)         # legacy full-window (exact)
+    s_anchor = make_inc_session(engine)       # exact encoder rows for (1)
+    err = enc_err_fn()
+
+    n_ticks = int(minutes * 60)
+    toks_inc, toks_exact = [], []
+    attend_inc, attend_exact = [], []
+    keep_inc = keep_exact = 0
+    enc_samples = []   # (tick, max_err, mean_err, ref_rms)
+    mode_counts = {"inc": 0, "anchor": 0}
+    t0 = time.perf_counter()
+    for i in range(n_ticks):
+        audio = speech_like(1.0, seed=7, t0=float(i))
+        rows = {}
+        for name, s in (("inc", s_inc), ("exact", s_exact), ("anchor", s_anchor)):
+            s.insert_audio(audio.copy())
+            if name == "anchor":
+                s._enc_key = None  # force the exact full-window anchor program
+            ti = s.prepare_tick(False)
+            if ti is None:
+                rows[name] = None
+                continue
+            if name == "inc" and ti.enc_mode in mode_counts:
+                mode_counts[ti.enc_mode] += 1
+            outs = run_tick_batch(
+                engine, [ti], tok,
+                pool=s.pool, enc_pool=s.enc_pool, xkv=s.xkv_alloc,
+            )
+            words = s.finish_tick(ti, outs[0])
+            rows[name] = (ti, outs[0], words)
+        if rows["inc"] is not None and rows["exact"] is not None:
+            attend_inc.append(rows["inc"][1].last_attend)
+            attend_exact.append(rows["exact"][1].last_attend)
+            keep_inc += rows["inc"][1].n_keep
+            keep_exact += rows["exact"][1].n_keep
+            for t in rows["inc"][2]:
+                toks_inc.extend(tok.encode(t.text))
+            for t in rows["exact"][2]:
+                toks_exact.extend(tok.encode(t.text))
+        if (
+            rows["inc"] is not None
+            and rows["anchor"] is not None
+            and i % enc_every == 0
+            and rows["inc"][0].enc_mode == "inc"
+        ):
+            win = rows["inc"][0].content_frames
+            m = np.asarray(err(
+                s_inc.enc_pool.pool, s_inc.enc_lane,
+                s_anchor.enc_pool.pool, s_anchor.enc_lane,
+                jnp.int32(win),
+            ))
+            enc_samples.append((i, float(m[0]), float(m[1]), float(m[2])))
+    wall = time.perf_counter() - t0
+
+    flips = sum(1 for a, b in zip(attend_inc, attend_exact) if a != b)
+    deltas = [abs(a - b) for a, b in zip(attend_inc, attend_exact)]
+    sm = difflib.SequenceMatcher(a=toks_inc, b=toks_exact, autojunk=False)
+    matched = sum(bl.size for bl in sm.get_matching_blocks())
+    denom = max(len(toks_inc), len(toks_exact), 1)
+    max_errs = [m for (_, m, _, _) in enc_samples]
+    mean_errs = [m for (_, _, m, _) in enc_samples]
+    rms = [r for (_, _, _, r) in enc_samples]
+    return {
+        "model": model,
+        "minutes": minutes,
+        "frame_threshold": frame_threshold,
+        "xkv_dtype": xkv_dtype if s_inc.xkv_alloc is not None else None,
+        "n_ticks_compared": len(attend_inc),
+        "inc_tick_mix": mode_counts,
+        "encoder_divergence": {
+            "n_samples": len(enc_samples),
+            "max_abs_err": max(max_errs) if max_errs else None,
+            "p50_max_abs_err": float(np.median(max_errs)) if max_errs else None,
+            "mean_abs_err": float(np.mean(mean_errs)) if mean_errs else None,
+            "exact_frame_rms": float(np.mean(rms)) if rms else None,
+            "mean_rel_err": (
+                float(np.mean(mean_errs) / np.mean(rms)) if rms else None
+            ),
+        },
+        "gate_frames": {
+            "flip_rate": round(flips / max(len(attend_inc), 1), 4),
+            "mean_abs_delta_frames": (
+                round(float(np.mean(deltas)), 2) if deltas else None
+            ),
+            "p95_abs_delta_frames": (
+                round(float(np.quantile(deltas, 0.95)), 1) if deltas else None
+            ),
+        },
+        "committed_tokens": {
+            "n_inc": len(toks_inc),
+            "n_exact": len(toks_exact),
+            "agreement": round(matched / denom, 4),
+            "token_error_rate": round(1.0 - matched / denom, 4),
+            "kept_per_tick_inc": round(keep_inc / max(len(attend_inc), 1), 2),
+            "kept_per_tick_exact": round(keep_exact / max(len(attend_inc), 1), 2),
+        },
+        "wall_s": round(wall, 1),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--models", nargs="+", default=["base", "large-v3"])
+    ap.add_argument("--minutes", type=float, default=5.0)
+    ap.add_argument("--frame-threshold", type=int, default=1,
+                    help="permissive gate so tokens flow under random "
+                    "weights (gate-frame stats are threshold-independent)")
+    ap.add_argument("--xkv-dtype", default="bf16", choices=["bf16", "f8"],
+                    help="bf16 isolates the tail-encode approximation; f8 "
+                    "adds the storage-dtype drift on top")
+    ap.add_argument("--enc-every", type=int, default=5,
+                    help="sample encoder divergence every K ticks")
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    results = []
+    for m in args.models:
+        print(f"[ab] {m}: {args.minutes} min, xkv={args.xkv_dtype} ...", flush=True)
+        r = run_model(m, args.minutes, args.frame_threshold, args.xkv_dtype,
+                      args.enc_every)
+        results.append(r)
+        print(json.dumps(r), flush=True)
+    out = {"runs": results}
+    if args.out:
+        Path(args.out).write_text(json.dumps(out, indent=2) + "\n")
+
+
+if __name__ == "__main__":
+    main()

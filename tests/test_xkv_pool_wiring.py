@@ -126,7 +126,7 @@ def test_epoch_synchronized_group_anchor(engine):
     assert modes[0] == ("anchor", "anchor")
     assert ("inc", "inc") in modes, modes
     assert any(m == ("anchor", "anchor") for m in modes[2:]), modes
-    assert alloc.groups[0].epoch >= 1
+    assert alloc.groups[0].sub_epoch >= 1
 
 
 def test_mixed_batch_xkv_enc_legacy(engine):
@@ -194,3 +194,41 @@ def test_scheduler_creates_allocator(engine):
     assert "xkv" in sched.stats() or sched.xkv.stats()["n_groups"] == 0
     off = BatchScheduler(engine, max_lanes=4, incremental_encode=False)
     assert off.xkv is None
+
+
+def test_cohort_staggered_anchors(engine):
+    """anchor_cohorts=2: after the shared sub-epoch cadence, the two
+    sessions (slots 0 and 1 -> cohorts 0 and 1) re-anchor in DIFFERENT
+    windows — never both at once after the initial anchor — and each still
+    evicts once per full epoch period."""
+    audio_pool = AudioPool(capacity=4)
+    alloc = XKVAllocator(2, engine.dims, epoch_period=4, anchor_cohorts=2)
+    assert alloc.sub_period == 2
+    shared_enc = EncPool(5, engine.dims, dtype=jnp.float32)
+    s1 = make_xkv_session(engine, audio_pool, alloc, shared_enc)
+    s2 = make_xkv_session(engine, audio_pool, alloc, shared_enc)
+
+    for j, s in enumerate((s1, s2)):  # pre-grow windows past W_SPLICE
+        s.insert_audio(chunk(70 + j, seconds=6.0))
+    modes = []
+    for i in range(10):
+        tis = []
+        for j, s in enumerate((s1, s2)):
+            s.insert_audio(chunk(20 * j + i))
+            tis.append(s.prepare_tick(False))
+        modes.append(tuple(t.enc_mode for t in tis))
+        outs = run_tick_batch(
+            engine, tis, engine.tokenizer,
+            pool=audio_pool, enc_pool=shared_enc, xkv=alloc,
+        )
+        for s, t, o in zip((s1, s2), tis, outs):
+            s.finish_tick(t, o)
+    assert modes[0] == ("anchor", "anchor")  # first tick always anchors
+    anchors_1 = [i for i, m in enumerate(modes[1:], 1) if m[0] == "anchor"]
+    anchors_2 = [i for i, m in enumerate(modes[1:], 1) if m[1] == "anchor"]
+    # staggered: each session re-anchors, but never in the same window
+    assert anchors_1 and anchors_2, modes
+    assert not set(anchors_1) & set(anchors_2), modes
+    # cohorts don't change the per-session cadence: one evict per period
+    # (sub-epochs advance every 2 group ticks; each cohort fires every 2nd)
+    assert all(b - a >= alloc.epoch_period - 1 for a, b in zip(anchors_1, anchors_1[1:]))

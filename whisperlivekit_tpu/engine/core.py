@@ -95,6 +95,7 @@ class SimulStreamingASR:
                 getattr(config, "xkv_cache", "auto"), "auto"
             ),
             xkv_cache_dtype=getattr(config, "xkv_cache_dtype", "bf16"),
+            anchor_cohorts=int(getattr(config, "xkv_anchor_cohorts", 1) or 1),
         )
         self.engine = AlignAttEngine(
             params, dims, self.tokenizer, self.cfg, model_name=model_name,
@@ -189,6 +190,9 @@ class TranscriptionEngine:
             self._initialized = True
 
     def _do_init(self, config: WLKConfig) -> None:
+        from ..compile_cache import enable_compile_cache
+
+        enable_compile_cache()
         self.config = config
         self.args = config  # reference exposes config as .args (core.py:97)
         self.asr: Any = None

@@ -148,6 +148,7 @@ class BatchScheduler:
                     self.max_lanes, engine.dims, dtype=xdt,
                     budget_bytes=getattr(cfg, "xkv_budget_bytes", 6 << 30),
                     epoch_period=max(2, int(round(block_s))),
+                    anchor_cohorts=getattr(cfg, "anchor_cohorts", 1),
                 )
 
     # ---- public API ------------------------------------------------------------
@@ -170,6 +171,14 @@ class BatchScheduler:
             _Pending(session, tick_inputs, fut, deadline or now + self.tick_budget_s, now)
         )
         return await fut
+
+    def reset_stats(self) -> None:
+        """Zero the counters/quantiles (benchmark warm-up exclusion)."""
+        self.n_ticks = 0
+        self.n_lanes_served = 0
+        self.n_rotations = 0
+        self._wait_q = _Quantiles()
+        self._emit_q = _Quantiles()
 
     def stats(self) -> dict:
         return {

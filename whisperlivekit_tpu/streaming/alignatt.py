@@ -120,6 +120,11 @@ class AlignAttConfig:
     xkv_budget_bytes: int = 6 << 30  # HBM cap for all groups' pools (auto
                                      # group count; large-v3 bf16 fits 1 group
                                      # of 24, f8 fits 2)
+    anchor_cohorts: int = 1      # stagger group re-anchors over this many
+                                 # sub-epochs (slot % cohorts): 1 = whole
+                                 # group anchors at once (max batching, ~1 s
+                                 # stall at large-v3); 3 = only ~G/3 lanes
+                                 # anchor per stall (p95 word-emission tail)
 
 
 class TokenBufferCtx:
@@ -908,11 +913,15 @@ class XKVGroupPool:
         self.k = jnp.zeros(shape, dtype)
         self.v = jnp.zeros(shape, dtype)
         self._free = list(range(group_width))
-        # group-synchronized anchor epochs: the scheduler bumps `epoch` once
-        # per eviction block of inc ticks; sessions that see a new epoch
-        # force-evict (window permitting) and plan an anchor, so the whole
-        # group re-anchors in ONE batched program instead of lane-by-lane
-        self.epoch = 0
+        # group-synchronized anchor epochs: the scheduler bumps `sub_epoch`
+        # once per (eviction block / anchor_cohorts) of inc ticks; a session
+        # in cohort c (= slot % cohorts) force-evicts (window permitting) and
+        # plans an anchor when a sub-epoch with index ≡ c passes, so each
+        # cohort re-anchors in ONE batched program — with cohorts=1 the whole
+        # group anchors together (max batching, but the group stalls ~1 s at
+        # large-v3); with cohorts>1 anchors stagger across sub-epochs and
+        # each stall is a small chunked program (p95 tail latency)
+        self.sub_epoch = 0
         self.ticks_since_epoch = 0
 
     @staticmethod
@@ -941,7 +950,9 @@ class XKVAllocator:
     Groups are created lazily up to an HBM budget; a session holds one
     (group, slot) for its lifetime (slot order IS batch order — the decode
     reads the pool directly, so slots cannot be regathered; see
-    XKVGroupPool). ``epoch_period`` paces group-synchronized anchors."""
+    XKVGroupPool). ``epoch_period`` paces group-synchronized anchors;
+    ``anchor_cohorts`` staggers them (slot % cohorts) so only ~G/cohorts
+    lanes anchor per sub-epoch instead of the whole group at once."""
 
     def __init__(
         self,
@@ -950,11 +961,14 @@ class XKVAllocator:
         dtype=jnp.bfloat16,
         budget_bytes: int = 6 << 30,
         epoch_period: int = 15,
+        anchor_cohorts: int = 1,
     ):
         self.group_width = group_width
         self.dims = dims
         self.dtype = dtype
         self.epoch_period = epoch_period
+        self.anchor_cohorts = max(1, min(anchor_cohorts, epoch_period))
+        self.sub_period = max(1, epoch_period // self.anchor_cohorts)
         row = XKVGroupPool.row_bytes(dims, dtype)
         self.max_groups = max(1, int(budget_bytes // (row * group_width)))
         self.groups: List[XKVGroupPool] = []
@@ -977,17 +991,18 @@ class XKVAllocator:
     def note_group_tick(self, gi: int) -> None:
         g = self.groups[gi]
         g.ticks_since_epoch += 1
-        if g.ticks_since_epoch >= self.epoch_period:
+        if g.ticks_since_epoch >= self.sub_period:
             g.ticks_since_epoch = 0
-            g.epoch += 1
+            g.sub_epoch += 1
 
     def stats(self) -> dict:
         return {
             "n_groups": len(self.groups),
             "max_groups": self.max_groups,
             "group_width": self.group_width,
+            "anchor_cohorts": self.anchor_cohorts,
             "slots_used": sum(g.occupancy for g in self.groups),
-            "epochs": [g.epoch for g in self.groups],
+            "epochs": [g.sub_epoch // self.anchor_cohorts for g in self.groups],
         }
 
 
@@ -1749,17 +1764,26 @@ class AlignAttSession:
         return ti
 
     def _maybe_epoch_evict(self) -> None:
-        """Group-synchronized eviction: when this session's cross-KV group
-        entered a new anchor epoch, evict a block early (window permitting)
-        so the whole group re-anchors in one batched program and their
-        eviction phases stay aligned (the scheduler paces epochs at one per
-        evict block of group ticks)."""
+        """Group-synchronized eviction: when a new anchor sub-epoch matching
+        this session's cohort (slot % anchor_cohorts) has passed, evict a
+        block early (window permitting) so the cohort re-anchors in one
+        batched program and eviction phases stay aligned per cohort (the
+        scheduler paces sub-epochs at anchor_cohorts per evict block of
+        group ticks; cohorts=1 reproduces whole-group anchors)."""
         if self.xkv_alloc is None or self.xkv_slot is None:
             return
         g = self.xkv_alloc.groups[self.xkv_gi]
-        if g.epoch == self._xkv_epoch_seen:
+        cur = g.sub_epoch
+        if cur == self._xkv_epoch_seen:
             return
-        self._xkv_epoch_seen = g.epoch
+        C = self.xkv_alloc.anchor_cohorts
+        due = any(
+            k % C == self.xkv_slot % C
+            for k in range(self._xkv_epoch_seen + 1, cur + 1)
+        )
+        self._xkv_epoch_seen = cur
+        if not due:
+            return
         block = self.cfg.evict_block_s or self.cfg.audio_max_len / 2
         limit = max(self.cfg.audio_max_len - block, 1.0)
         total = self.segments_len()
@@ -1795,7 +1819,7 @@ class AlignAttSession:
             got = self.xkv_alloc.acquire()
             if got is not None:
                 self.xkv_gi, self.xkv_slot = got
-                self._xkv_epoch_seen = self.xkv_alloc.groups[self.xkv_gi].epoch
+                self._xkv_epoch_seen = self.xkv_alloc.groups[self.xkv_gi].sub_epoch
         if self.enc_pool is not None:
             if self.enc_lane is None:
                 self.enc_lane = self.enc_pool.acquire()
