@@ -96,6 +96,8 @@ class SessionProbe:
         self.committed_end = 0.0
         self.samples = []       # (audio_end_s, emission_latency_s)
         self.proc_lag = []      # (audio_pos, remaining_time_transcription)
+        self.n_infer_calls = 0
+        self.mean_infer_s = None
 
     def on_update(self, st) -> None:
         if self.t0 is None:
@@ -145,6 +147,9 @@ async def drive_session(idx, engine_kwargs, duration, stagger_s, warm_s,
             if delay > 0:
                 await asyncio.sleep(delay)
         await h.finish(timeout=30)
+        probe.n_infer_calls = h.metrics.n_transcription_calls
+        d = h.metrics.transcription_durations
+        probe.mean_infer_s = float(np.mean(d)) if d else None
 
 
 def _quant(xs, q):
@@ -218,6 +223,12 @@ async def run_once(n, duration, engine_kwargs, stagger_s, warm_s, shakeout_s,
         "emission_lag_late_p50_ms": _ms(late),
         "n_frontier_advances": emitted,
         "n_sessions_without_output": starved,
+        "infer_calls_per_session": round(
+            float(np.mean([p.n_infer_calls for p in probes])), 1
+        ),
+        "mean_infer_ms": _ms(float(np.mean(
+            [p.mean_infer_s for p in probes if p.mean_infer_s is not None]
+        )) if any(p.mean_infer_s is not None for p in probes) else None),
         "scheduler": sched,
     }
 

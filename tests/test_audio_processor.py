@@ -180,3 +180,43 @@ def test_metrics_collected():
     assert m.n_chunks_received >= 1
     assert m.n_transcription_calls >= 1
     assert m.total_audio_duration_s == pytest.approx(2.0, abs=0.1)
+
+
+def test_probe_internals_surface():
+    """wlk diagnose probes pipeline + backend internals per interval
+    (reference cli.py:1253-1347); the snapshot must exist, carry queue
+    depths, and never throw regardless of backend shape."""
+    proc = make_processor()
+    info = proc.probe_internals()
+    assert info["in_silence"] is False or info["in_silence"] is True
+    assert "transcription_queue_depth" in info
+    assert info["n_state_tokens"] == 0
+    # duck-typed stub backend: falls through to the generic branch
+    assert info["backend"]["backend_type"] == "StubTranscription"
+    assert info["backend"]["audio_buffer_sec"] == 0.0
+    assert info["backend"]["buffer_text_chars"] == 0
+
+
+def test_probe_backend_state_local_agreement():
+    from whisperlivekit_tpu.session.processor import probe_backend_state
+    from whisperlivekit_tpu.streaming.local_agreement import OnlineASRProcessor
+
+    class _ASR:
+        sep = " "
+
+        def transcribe(self, audio, init_prompt=""):
+            return []
+
+        def ts_words(self, res):
+            return []
+
+        def segments_end_ts(self, res):
+            return []
+
+    online = OnlineASRProcessor(_ASR())
+    info = probe_backend_state(online)
+    assert info["backend_type"] == "onlineasrprocessor"
+    assert info["hypothesis_words"] == 0
+    assert info["committed_words_in_buffer"] == 0
+
+    assert probe_backend_state(None) == {"error": "no transcription processor"}

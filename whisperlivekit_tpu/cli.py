@@ -348,6 +348,10 @@ def cmd_diagnose(argv) -> int:
                         "lines": len(state.lines),
                         "buffer": len(state.buffer_transcription),
                         "lag": state.remaining_time_transcription,
+                        # pipeline + backend internals (queue depths,
+                        # window/cache state, scheduler quantiles —
+                        # reference cli.py:1253-1347 probe depth)
+                        **h.probe(),
                     }
                 )
 
@@ -369,6 +373,11 @@ def cmd_diagnose(argv) -> int:
             }
             print(f"load={load_time:.1f}s audio={audio_s:.1f}s processing={processing:.1f}s rtf={rtf:.3f}")
             print(f"probes={len(probes)} metrics={h.metrics.to_dict()}")
+            if probes:
+                last = probes[-1]
+                print(f"backend={json.dumps(last.get('backend', {}))}")
+                depths = {k: v for k, v in last.items() if k.endswith('_queue_depth')}
+                print(f"pipeline={json.dumps({**depths, 'in_silence': last.get('in_silence'), 'n_state_tokens': last.get('n_state_tokens')})}")
             failed = [k for k, v in checks.items() if not v]
             for k, v in checks.items():
                 print(f"  [{'PASS' if v else 'FAIL'}] {k}")

@@ -119,6 +119,7 @@ class BatchScheduler:
         self.n_rotations = 0
         self._wait_q = _Quantiles()
         self._emit_q = _Quantiles()
+        self._tick_q = _Quantiles()
         # jax profiler: trace the first N ticks into profile_dir (view with
         # tensorboard / xprof) — the serving-path observability hook.
         self._profile_dir = profile_dir
@@ -179,6 +180,7 @@ class BatchScheduler:
         self.n_rotations = 0
         self._wait_q = _Quantiles()
         self._emit_q = _Quantiles()
+        self._tick_q = _Quantiles()
 
     def stats(self) -> dict:
         return {
@@ -188,6 +190,8 @@ class BatchScheduler:
             "max_lanes": self.max_lanes,
             "n_rotations": self.n_rotations,
             "backlog": (self._queue.qsize() if self._queue else 0) + len(self._carry),
+            "tick_ms_p50": _ms(self._tick_q.quantile(0.5)),
+            "tick_ms_p95": _ms(self._tick_q.quantile(0.95)),
             "queue_wait_p50_ms": _ms(self._wait_q.quantile(0.5)),
             "queue_wait_p95_ms": _ms(self._wait_q.quantile(0.95)),
             "word_emission_p50_ms": _ms(self._emit_q.quantile(0.5)),
@@ -273,6 +277,7 @@ class BatchScheduler:
                 self.n_ticks += 1
                 self.n_lanes_served += len(batch)
                 t_done = loop.time()
+                self._tick_q.add(t_done - t_start)
                 for p, out in zip(batch, outs):
                     self._emit_q.add(t_done - p.enqueued)
                     if not p.fut.done():

@@ -348,6 +348,12 @@ class TestHarness:
     def on_update(self, callback: Callable[[TestState], None]) -> None:
         self._on_update = callback
 
+    def probe(self) -> dict:
+        """Pipeline + backend internals (AudioProcessor.probe_internals)."""
+        if self._processor is None:
+            return {}
+        return self._processor.probe_internals()
+
     def snapshot_at(self, t: float) -> Optional[TestState]:
         """Latest state whose audio position is ≤ t."""
         best = None

@@ -87,7 +87,7 @@ themeBtn.onclick = () => {
 const saved = localStorage.getItem('wlk-theme');
 if (saved) document.documentElement.dataset.theme = saved;
 let ws = null, ctx = null, node = null, stream = null, recording = false;
-let useWorklet = true, retry = 0;
+let recorder = null, useWorklet = true, retry = 0, configResolve = null;
 
 const workletCode = `
 class PCMForwarder extends AudioWorkletProcessor {
@@ -107,7 +107,11 @@ function wsUrl() {
 }
 
 function render(data) {
-  if (data.type === 'config') { useWorklet = !!data.useAudioWorklet; return; }
+  if (data.type === 'config') {
+    useWorklet = !!data.useAudioWorklet;
+    if (configResolve) { configResolve(); configResolve = null; }
+    return;
+  }
   if (data.type === 'ready_to_stop') { statusEl.textContent = 'finished'; return; }
   if (data.status === 'error') { statusEl.textContent = 'error: ' + (data.error||''); return; }
   const lines = data.lines || [];
@@ -142,20 +146,37 @@ async function start() {
                                                  Math.min(1000 * 2**retry, 15000)); };
   await new Promise(res => ws.onopen = res);
   retry = 0;
+  // the server announces its expected format right after connect
+  // (config.useAudioWorklet = pcm_input); fall back to the worklet default
+  // if the message is late
+  await new Promise(res => { configResolve = res; setTimeout(res, 1500); });
 
-  ctx = new AudioContext({sampleRate: 16000});
-  const blob = new Blob([workletCode], {type:'application/javascript'});
-  await ctx.audioWorklet.addModule(URL.createObjectURL(blob));
-  const src = ctx.createMediaStreamSource(stream);
-  node = new AudioWorkletNode(ctx, 'pcm-forwarder');
-  node.port.onmessage = e => {
-    if (ws && ws.readyState === 1) ws.send(f32tos16(e.data));
-  };
-  src.connect(node);
+  if (useWorklet) {
+    ctx = new AudioContext({sampleRate: 16000});
+    const blob = new Blob([workletCode], {type:'application/javascript'});
+    await ctx.audioWorklet.addModule(URL.createObjectURL(blob));
+    const src = ctx.createMediaStreamSource(stream);
+    node = new AudioWorkletNode(ctx, 'pcm-forwarder');
+    node.port.onmessage = e => {
+      if (ws && ws.readyState === 1) ws.send(f32tos16(e.data));
+    };
+    src.connect(node);
+  } else {
+    // server decodes container audio via ffmpeg: ship WebM/Opus chunks
+    const mime = MediaRecorder.isTypeSupported('audio/webm;codecs=opus')
+      ? 'audio/webm;codecs=opus' : 'audio/webm';
+    recorder = new MediaRecorder(stream, {mimeType: mime});
+    recorder.ondataavailable = e => {
+      if (e.data.size && ws && ws.readyState === 1) ws.send(e.data);
+    };
+    recorder.start(250);
+  }
   statusEl.textContent = 'recording';
 }
 
 async function stop() {
+  if (recorder && recorder.state !== 'inactive') recorder.stop();
+  recorder = null;
   if (node) node.disconnect();
   if (ctx) await ctx.close();
   if (stream) stream.getTracks().forEach(t => t.stop());

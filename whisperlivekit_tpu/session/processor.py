@@ -734,6 +734,54 @@ class PcmIngest:
 # ---------------------------------------------------------------------------
 
 
+def probe_backend_state(online) -> dict:
+    """Duck-typed diagnostics for whatever online ASR processor is running
+    (wlk diagnose; mirror of reference cli.py:1253-1329's per-backend probe
+    adapted to this package's processors)."""
+    if online is None:
+        return {"error": "no transcription processor"}
+    info: dict = {}
+    model = getattr(online, "model", None)
+    if model is not None and hasattr(model, "segments_len"):
+        # SimulStreaming / AlignAtt session
+        info["backend_type"] = "simulstreaming"
+        info["window_sec"] = round(model.segments_len(), 2)
+        info["committed_tokens"] = sum(len(t) for t in model.committed_tokens)
+        info["context_chars"] = len(model.context.text)
+        info["pending_utf8_tokens"] = len(model.pending_incomplete_tokens)
+        info["pool_lane"] = model.pool_lane
+        info["enc_cached_frames"] = model._enc_synced_frames
+        if getattr(model, "xkv_slot", None) is not None:
+            info["xkv_group"] = model.xkv_gi
+            info["xkv_slot"] = model.xkv_slot
+    elif hasattr(online, "committer"):
+        # qwen3-causal / voxtral-realtime block-causal family
+        info["backend_type"] = type(online).__name__
+        info["text_cache_pos"] = online.text_pos
+        info["blocks_this_segment"] = online.blocks_this_segment
+        info["tower_frames_filled"] = online.frames_filled
+        info["committed_words"] = online.committer.n_committed
+        info["carry_context_tokens"] = len(getattr(online, "_carry_ids", []))
+    elif hasattr(online, "transcript_buffer"):
+        # LocalAgreement / windowed re-transcription
+        info["backend_type"] = type(online).__name__.lower()
+        hb = online.transcript_buffer
+        info["committed_words_in_buffer"] = len(hb.committed_in_buffer)
+        info["hypothesis_words"] = len(hb.buffer)
+        info["last_committed_time"] = round(hb.last_committed_time, 2)
+    else:
+        info["backend_type"] = type(online).__name__
+    buf = getattr(online, "audio_buffer", None)
+    if buf is not None:
+        info["audio_buffer_sec"] = round(len(buf) / SAMPLE_RATE, 2)
+    try:
+        b = online.get_buffer()
+        info["buffer_text_chars"] = len(getattr(b, "text", "") or "")
+    except Exception as e:  # diagnostics must never throw
+        info["buffer_error"] = str(e)
+    return info
+
+
 class AudioProcessor:
     """One instance per connection/session. Public surface:
     ``process_audio(bytes)``, ``create_tasks() -> async generator of
@@ -876,6 +924,29 @@ class AudioProcessor:
     @property
     def _vac_async(self) -> bool:
         return self.ingest.vad_is_async
+
+    # ------------------------------------------------------------------
+    # Diagnostics (wlk diagnose probes these per interval; reference
+    # cli.py:1253-1347 _probe_backend_state/_probe_pipeline_state)
+    # ------------------------------------------------------------------
+
+    def probe_internals(self) -> dict:
+        """Pipeline-level + backend-internal state snapshot."""
+        info = {
+            "total_audio_sec": round(self.total_pcm_samples / self.sample_rate, 2),
+            "is_stopping": self.is_stopping,
+            "in_silence": self.current_silence is not None,
+            "n_state_tokens": len(self.store.state.tokens),
+        }
+        for name in ("transcription", "diarization", "translation"):
+            q = getattr(self, f"{name}_queue")
+            if q is not None:
+                info[f"{name}_queue_depth"] = q.qsize()
+        sched = getattr(self.engine, "scheduler", None)
+        if sched is not None and hasattr(sched, "stats"):
+            info["scheduler"] = sched.stats()
+        info["backend"] = probe_backend_state(self.transcription)
+        return info
 
     # ------------------------------------------------------------------
     # Event fan-out (gate transitions + active audio → worker queues)
