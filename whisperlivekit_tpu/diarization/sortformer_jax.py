@@ -183,9 +183,13 @@ def _dense(x, p):
     return y.astype(x.dtype)
 
 
-def _conv2d(x, p, stride, groups=1):
+def _conv2d(x, p, stride, groups=1, pad=0):
+    # NeMo's dw-striding stack uses EXPLICIT symmetric padding
+    # (nn.Conv2d(..., padding=1)), not XLA SAME: for even lengths SAME pads
+    # (0,1) while torch pads (1,1) — a one-frame alignment difference that
+    # would silently break checkpoint parity.
     y = jax.lax.conv_general_dilated(
-        x, p["w"], window_strides=(stride, stride), padding="SAME",
+        x, p["w"], window_strides=(stride, stride), padding=((pad, pad), (pad, pad)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=groups,
         preferred_element_type=jnp.float32,
@@ -194,16 +198,24 @@ def _conv2d(x, p, stride, groups=1):
 
 
 def subsample(params, mel: jnp.ndarray, dims: SortformerDims) -> jnp.ndarray:
-    """mel [B, T, n_mels] → [B, ceil(T/8), d_encoder] (dw-striding ×8)."""
+    """mel [B, T, n_mels] → [B, ceil(T/8), d_encoder] (dw-striding ×8).
+
+    Mirrors NeMo ConvSubsampling(subsampling='dw_striding') exactly: 3×3
+    stride-2 convs with padding=1, ReLU after the full conv and after each
+    pointwise, and the output flattened CHANNEL-major (torch
+    ``x.transpose(1, 2).reshape(b, t, -1)``) before the out linear —
+    pinned by tests/test_sortformer_layout_spec.py against torch.nn.functional.
+    """
     C = dims.subsampling_channels
     x = mel[..., None]  # [B, T, mels, 1]
-    x = jax.nn.relu(_conv2d(x, params["sub0"], 2))
-    x = _conv2d(x, params["sub1_dw"], 2, groups=C)
+    x = jax.nn.relu(_conv2d(x, params["sub0"], 2, pad=1))
+    x = _conv2d(x, params["sub1_dw"], 2, groups=C, pad=1)
     x = jax.nn.relu(_conv2d(x, params["sub1_pw"], 1))
-    x = _conv2d(x, params["sub2_dw"], 2, groups=C)
+    x = _conv2d(x, params["sub2_dw"], 2, groups=C, pad=1)
     x = jax.nn.relu(_conv2d(x, params["sub2_pw"], 1))
     B, T8, M8, _ = x.shape
-    return _dense(x.reshape(B, T8, M8 * C), params["sub_out"])
+    x = jnp.swapaxes(x, 2, 3).reshape(B, T8, C * M8)  # c-major like torch
+    return _dense(x, params["sub_out"])
 
 
 def _relpos_table(length: int, d: int) -> np.ndarray:
