@@ -247,3 +247,46 @@ def test_transposed_xkv_equivalence(setup):
     )
     np.testing.assert_allclose(np.asarray(s_lg0), np.asarray(s_lg1), rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(s_ap0), np.asarray(s_ap1), rtol=1e-5, atol=1e-6)
+
+
+def test_decoder_f8_quantization(setup):
+    """Weight-only f8 decoder (config decoder_dtype=f8): the {w, w_scale}
+    form must reconstruct weights within e4m3 mantissa error and keep the
+    decode numerically close — greedy argmax agreement is measured on the
+    TPU probe (scripts/probe_decoder_f8.py); here we pin the machinery."""
+    hf, dims, params, mel = setup
+    qp = M.quantize_decoder_f8(params)
+
+    q = qp["decoder"]["blocks"]["attn"]["q"]
+    assert q["w"].dtype == jnp.float8_e4m3fn
+    assert q["w_scale"].shape == (dims.n_text_layer, dims.n_text_state)
+    # dequantized weight ≈ original within e4m3 relative precision (2^-3
+    # mantissa step, so ~6% worst-case relative error per element)
+    w0 = np.asarray(params["decoder"]["blocks"]["attn"]["q"]["w"], np.float32)
+    wq = np.asarray(q["w"].astype(jnp.float32)) * np.asarray(q["w_scale"])[:, None, :]
+    denom = np.maximum(np.abs(w0), np.abs(w0).max() * 1e-3)
+    assert np.max(np.abs(wq - w0) / denom) < 0.07
+    # encoder + cross k/v + embeddings untouched
+    assert qp["encoder"] is params["encoder"]
+    assert qp["decoder"]["blocks"]["cross"]["k"] is params["decoder"]["blocks"]["cross"]["k"]
+    assert qp["decoder"]["tok_emb"] is params["decoder"]["tok_emb"]
+
+    tokens = np.array([[5, 17, 42, 99, 3, 7, 11], [1, 2, 3, 4, 5, 6, 7]], dtype=np.int32)
+    enc = M.encode(params, jnp.asarray(mel), dims)
+    xkv = M.cross_kv(params, enc, dims)
+    ref_logits, _, _ = M.decode(
+        params, jnp.asarray(tokens), jnp.zeros(2, jnp.int32), xkv,
+        M.init_cache(dims, batch=2), dims,
+    )
+    f8_logits, _, _ = M.decode(
+        qp, jnp.asarray(tokens), jnp.zeros(2, jnp.int32), xkv,
+        M.init_cache(dims, batch=2), dims,
+    )
+    ref = np.asarray(ref_logits)
+    f8 = np.asarray(f8_logits)
+    assert np.all(np.isfinite(f8))
+    # logit perturbation stays small relative to the logit scale…
+    assert np.abs(f8 - ref).max() / np.abs(ref).max() < 0.2
+    # …and the greedy path barely moves on random weights
+    agree = (ref.argmax(-1) == f8.argmax(-1)).mean()
+    assert agree >= 0.8

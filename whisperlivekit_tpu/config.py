@@ -136,6 +136,9 @@ class WLKConfig:
     xkv_cache: str = "auto"                  # group cross-KV cache: auto|on|off
     xkv_cache_dtype: str = "bf16"            # pool storage: bf16 (exact) | f8 (capacity)
     xkv_anchor_cohorts: int = 1              # stagger group re-anchors (p95 tail)
+    decoder_dtype: str = "bf16"              # decoder linear weight storage: bf16
+                                             # (exact) | f8 (weight-only e4m3,
+                                             # halves per-step HBM weight read)
     openai_base_url: Optional[str] = None    # backend=openai-api endpoint override
     mesh_shape: Optional[str] = None         # e.g. "data:4,model:2"; None = 1 chip
     donate_kv_cache: bool = True

@@ -46,11 +46,15 @@ def load_whisper_params(config: WLKConfig):
         dims = MODEL_DIMS.get(spec, MODEL_DIMS["base"])
         logger.warning("Initializing RANDOM weights (%s dims) — bench/CI mode", spec)
         params = wm.init_params(dims, jax.random.PRNGKey(0), dtype=dtype)
-        return params, dims, spec
-
-    target = path or size
-    return load_model(target, dtype=dtype, lora_path=config.lora_path,
-                      cache_dir=config.model_cache_dir)
+        name = spec
+    else:
+        target = path or size
+        params, dims, name = load_model(target, dtype=dtype, lora_path=config.lora_path,
+                                        cache_dir=config.model_cache_dir)
+    if getattr(config, "decoder_dtype", "bf16") == "f8":
+        logger.info("Quantizing decoder block weights to f8_e4m3 (weight-only)")
+        params = wm.quantize_decoder_f8(params)
+    return params, dims, name
 
 
 class SimulStreamingASR:

@@ -144,6 +144,42 @@ def init_params(dims: ModelDimensions, key: jax.Array, dtype=jnp.float32) -> Par
     }
 
 
+def quantize_decoder_f8(params: Params) -> Params:
+    """Quantize the decoder blocks' linear weights to float8_e4m3fn with
+    per-output-channel scales (weight-only; activations stay bf16/f32).
+
+    The decode loop is HBM-bandwidth-bound at S=1 — it streams ~1.7 GB of
+    decoder weights per step at large-v3 (docs/perf/README.md "Remaining
+    wall") — so halving the weight bytes attacks the per-step floor the
+    same way the f8 cross-KV pool does. Only the per-layer block linears
+    (self q/k/v/o, cross q/o, mlp fc1/fc2) are converted: cross k/v run
+    once per anchor (not hot) and tok_emb doubles as the unembed where
+    logit fidelity matters most. ``dense`` consumes the {w, w_scale}
+    form transparently. Quality impact is measured, not assumed:
+    scripts/probe_decoder_f8.py reports step time + token agreement.
+    """
+    F8_MAX = 448.0  # e4m3fn finite max
+
+    def quant(p: Params) -> Params:
+        w = p["w"].astype(jnp.float32)  # [L, I, O]
+        amax = jnp.max(jnp.abs(w), axis=-2)  # per (layer, out-channel)
+        scale = jnp.maximum(amax / F8_MAX, 1e-12)
+        w8 = (w / scale[..., None, :]).astype(jnp.float8_e4m3fn)
+        out = {"w": w8, "w_scale": scale}
+        if "b" in p:
+            out["b"] = p["b"]
+        return out
+
+    blocks = dict(params["decoder"]["blocks"])
+    blocks["attn"] = {k: quant(v) for k, v in blocks["attn"].items()}
+    blocks["cross"] = {
+        k: (quant(v) if k in ("q", "o") else v) for k, v in blocks["cross"].items()
+    }
+    blocks["mlp"] = {k: quant(v) for k, v in blocks["mlp"].items()}
+    decoder = {**params["decoder"], "blocks": blocks}
+    return {**params, "decoder": decoder}
+
+
 # ---------------------------------------------------------------------------
 # Primitive ops
 # ---------------------------------------------------------------------------
@@ -158,7 +194,16 @@ def layer_norm(x: jnp.ndarray, p: Params, eps: float = 1e-5) -> jnp.ndarray:
 
 
 def dense(x: jnp.ndarray, p: Params) -> jnp.ndarray:
-    y = jnp.dot(x, p["w"], preferred_element_type=jnp.float32)
+    w = p["w"]
+    if w.dtype == jnp.float8_e4m3fn:
+        # weight-only f8 storage (quantize_decoder_f8): halve the per-step
+        # HBM weight read; the MXU dot runs in the compute dtype and the
+        # per-output-channel scale folds in AFTER the dot, so the wide
+        # [I,O] matrix is never multiplied elementwise.
+        y = jnp.dot(x, w.astype(x.dtype), preferred_element_type=jnp.float32)
+        y = y * p["w_scale"]
+    else:
+        y = jnp.dot(x, w, preferred_element_type=jnp.float32)
     if "b" in p:
         y = y + p["b"].astype(jnp.float32)
     return y.astype(x.dtype)
