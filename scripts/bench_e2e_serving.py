@@ -262,6 +262,9 @@ def main():
                     "identical code path. With real weights, use 25.")
     ap.add_argument("--no-vac", action="store_true",
                     help="disable the VAD front-end (isolation experiments)")
+    ap.add_argument("--anchor-cohorts", type=int, default=None,
+                    help="xkv_anchor_cohorts override: stagger group "
+                    "re-anchors over N sub-epochs (p95 tail A/B)")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -275,6 +278,8 @@ def main():
         frame_threshold=args.frame_threshold,
         log_level="WARNING",
     )
+    if args.anchor_cohorts is not None:
+        engine_kwargs["xkv_anchor_cohorts"] = args.anchor_cohorts
 
     results = []
     for n in args.n:
@@ -291,6 +296,7 @@ def main():
     summary = {
         "model": args.model,
         "xkv_dtype": args.xkv_dtype,
+        "anchor_cohorts": args.anchor_cohorts,
         "max_sustained_streams": max(sustained) if sustained else 0,
         "runs": results,
     }
