@@ -50,7 +50,8 @@ from bench_e2e_serving import speech_like  # noqa: E402
 SR = 16000
 
 
-def build_engine(model: str, frame_threshold: int, xkv_dtype: str):
+def build_engine(model: str, frame_threshold: int, xkv_dtype: str,
+                 decoder_dtype: str = "bf16"):
     import jax
     import jax.numpy as jnp
 
@@ -65,6 +66,8 @@ def build_engine(model: str, frame_threshold: int, xkv_dtype: str):
 
     dims = MODEL_DIMS[model]
     params = wm.init_params(dims, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+    if decoder_dtype == "f8":
+        params = wm.quantize_decoder_f8(params)
     tok = get_tokenizer(True, language="en", task="transcribe")
     cfg = AlignAttConfig(
         language="en",
@@ -227,6 +230,61 @@ def run_model(model: str, minutes: float, frame_threshold: int, xkv_dtype: str,
     }
 
 
+def run_decoder_ab(model: str, minutes: float, frame_threshold: int,
+                   xkv_dtype: str) -> dict:
+    """Quality gate for the f8d capacity arm (bench.py): two PRODUCTION
+    incremental sessions fed identical audio — one with bf16 decoder
+    linears, one with quantize_decoder_f8 weights — compared on the gate
+    frame and the committed-token stream. Isolates the decoder-weight
+    dtype: both arms run the same inc/anchor encode path and xkv dtype."""
+    from whisperlivekit_tpu.streaming.alignatt import run_tick_batch
+
+    eng_a = build_engine(model, frame_threshold, xkv_dtype, "bf16")
+    eng_b = build_engine(model, frame_threshold, xkv_dtype, "f8")
+    tok = eng_a.tokenizer
+    arms = {"bf16": (eng_a, make_inc_session(eng_a)),
+            "f8": (eng_b, make_inc_session(eng_b))}
+
+    n_ticks = int(minutes * 60)
+    toks = {"bf16": [], "f8": []}
+    attend = {"bf16": [], "f8": []}
+    t0 = time.perf_counter()
+    for i in range(n_ticks):
+        audio = speech_like(1.0, seed=7, t0=float(i))
+        for name, (eng, s) in arms.items():
+            s.insert_audio(audio.copy())
+            ti = s.prepare_tick(False)
+            if ti is None:
+                continue
+            outs = run_tick_batch(eng, [ti], tok, pool=s.pool,
+                                  enc_pool=s.enc_pool, xkv=s.xkv_alloc)
+            words = s.finish_tick(ti, outs[0])
+            attend[name].append(outs[0].last_attend)
+            for t in words:
+                toks[name].extend(tok.encode(t.text))
+    wall = time.perf_counter() - t0
+
+    pairs = list(zip(attend["bf16"], attend["f8"]))
+    flips = sum(1 for a, b in pairs if a != b)
+    sm = difflib.SequenceMatcher(a=toks["bf16"], b=toks["f8"], autojunk=False)
+    matched = sum(bl.size for bl in sm.get_matching_blocks())
+    denom = max(len(toks["bf16"]), len(toks["f8"]), 1)
+    return {
+        "comparison": "decoder_bf16_vs_f8",
+        "model": model,
+        "minutes": minutes,
+        "xkv_dtype": xkv_dtype,
+        "n_ticks": len(pairs),
+        "gate_flip_rate": round(flips / max(len(pairs), 1), 4),
+        "committed_tokens": {
+            "n_bf16": len(toks["bf16"]),
+            "n_f8": len(toks["f8"]),
+            "agreement": round(matched / denom, 4),
+        },
+        "wall_s": round(wall, 1),
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--models", nargs="+", default=["base", "large-v3"])
@@ -239,14 +297,23 @@ def main():
                     "adds the storage-dtype drift on top")
     ap.add_argument("--enc-every", type=int, default=5,
                     help="sample encoder divergence every K ticks")
+    ap.add_argument("--decoder-ab", action="store_true",
+                    help="run the decoder bf16-vs-f8 quality gate instead "
+                    "of the inc-vs-exact comparison")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
     results = []
     for m in args.models:
-        print(f"[ab] {m}: {args.minutes} min, xkv={args.xkv_dtype} ...", flush=True)
-        r = run_model(m, args.minutes, args.frame_threshold, args.xkv_dtype,
-                      args.enc_every)
+        if args.decoder_ab:
+            print(f"[ab] {m}: decoder bf16 vs f8, {args.minutes} min ...",
+                  flush=True)
+            r = run_decoder_ab(m, args.minutes, args.frame_threshold,
+                               args.xkv_dtype)
+        else:
+            print(f"[ab] {m}: {args.minutes} min, xkv={args.xkv_dtype} ...", flush=True)
+            r = run_model(m, args.minutes, args.frame_threshold, args.xkv_dtype,
+                          args.enc_every)
         results.append(r)
         print(json.dumps(r), flush=True)
     out = {"runs": results}

@@ -148,8 +148,8 @@ async def drive_session(idx, engine_kwargs, duration, stagger_s, warm_s,
                 await asyncio.sleep(delay)
         await h.finish(timeout=30)
         probe.n_infer_calls = h.metrics.n_transcription_calls
-        d = h.metrics.transcription_durations
-        probe.mean_infer_s = float(np.mean(d)) if d else None
+        mean_ms = h.metrics.transcription_durations.mean_ms  # CallTimes ring
+        probe.mean_infer_s = mean_ms / 1e3 if mean_ms else None
 
 
 def _quant(xs, q):

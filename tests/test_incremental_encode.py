@@ -162,6 +162,8 @@ def test_scheduler_attaches_enc_pool(engine):
 
     sched = BatchScheduler(engine, max_lanes=4, incremental_encode=True)
     assert sched.enc_pool is not None
-    assert sched.enc_pool.capacity == 9
+    # sized with the audio pool (4x lanes + scratch): sessions past the cap
+    # would fall to the legacy full re-encode program every tick
+    assert sched.enc_pool.capacity == 17
     sched_off = BatchScheduler(engine, max_lanes=4, incremental_encode=False)
     assert sched_off.enc_pool is None

@@ -33,6 +33,7 @@ import time
 from typing import List, Optional, Tuple
 
 from ..streaming.alignatt import (
+    TICK_PHASE_STATS,
     AlignAttEngine,
     AlignAttSession,
     AudioPool,
@@ -120,6 +121,7 @@ class BatchScheduler:
         self._wait_q = _Quantiles()
         self._emit_q = _Quantiles()
         self._tick_q = _Quantiles()
+        TICK_PHASE_STATS.clear()
         # jax profiler: trace the first N ticks into profile_dir (view with
         # tensorboard / xprof) — the serving-path observability hook.
         self._profile_dir = profile_dir
@@ -134,7 +136,13 @@ class BatchScheduler:
         self.xkv: Optional[XKVAllocator] = None
         if incremental_encode:
             dtype = engine.params["decoder"]["tok_emb"].dtype
-            self.enc_pool = EncPool(2 * self.max_lanes + 1, engine.dims, dtype=dtype)
+            # sized with the audio pool (4x lanes), NOT the tick width: a
+            # session without an enc lane falls to the legacy full
+            # re-encode program every tick (ragged width + whole-window
+            # upload), which poisons group ticks once live sessions exceed
+            # the cap. A lane is T_ctx x d rows (3.84 MB at large-v3) —
+            # cheap next to one xkv group (~3 GB).
+            self.enc_pool = EncPool(4 * self.max_lanes + 1, engine.dims, dtype=dtype)
             cfg = engine.cfg
             if getattr(cfg, "xkv_cache", False) and not engine.use_cif:
                 import jax.numpy as jnp
@@ -181,6 +189,7 @@ class BatchScheduler:
         self._wait_q = _Quantiles()
         self._emit_q = _Quantiles()
         self._tick_q = _Quantiles()
+        TICK_PHASE_STATS.clear()
 
     def stats(self) -> dict:
         return {
@@ -197,6 +206,11 @@ class BatchScheduler:
             "word_emission_p50_ms": _ms(self._emit_q.quantile(0.5)),
             "word_emission_p95_ms": _ms(self._emit_q.quantile(0.95)),
             **({"xkv": self.xkv.stats()} if self.xkv is not None else {}),
+            "tick_phases": {
+                k: {"n": n, "total_ms": round(tot * 1e3, 1),
+                    "mean_ms": round(tot / n * 1e3, 1)}
+                for k, (n, tot) in TICK_PHASE_STATS.items() if n
+            },
         }
 
     # ---- internals ----------------------------------------------------------------

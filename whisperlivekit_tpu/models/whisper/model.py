@@ -672,27 +672,58 @@ def decode(
             # GFLOP/layer and reads ~K/H of xk again, amortized over S
             # prefill rows). At S=1 re-reading k_sel per step measured
             # SLOWER than the gather (36 vs 18 ms/step) — steps gather.
+            # Query rows are processed in chunks of <=64: softmax is
+            # row-local and the three reductions are row-sums, so chunking
+            # is EXACT, and it bounds the [B,K,S,T] f32 score/softmax
+            # transient at chunk width — un-chunked it scales the tick
+            # program's temp linearly with the prefix bucket (measured
+            # 2.4G at P=64 -> 11.9G at P=384, an HBM OOM at serving
+            # shapes; scripts/probe_tick_mem.py).
             sel = (align.layers == layer_i).astype(jnp.float32)  # [K]
             q_sel = qx[:, :, align.heads]                        # [B,S,K,Dh]
             if xkv_transposed:
                 k_sel = xk[:, align.heads]                       # [B,K,Dh,T]
-                s_sel = jnp.einsum(
-                    "bskd,bkdt->bkst", q_sel, k_sel, preferred_element_type=jnp.float32
-                )
             else:
                 k_sel = xk[:, :, align.heads]                    # [B,T,K,Dh]
-                s_sel = jnp.einsum(
-                    "bskd,btkd->bkst", q_sel, k_sel, preferred_element_type=jnp.float32
-                )
-            s_sel = s_sel * (qx.shape[-1] ** -0.5)
-            if cross_mask is not None:
-                s_sel = s_sel + cross_mask[:, None, :, :]
-            gathered = jax.nn.softmax(s_sel, axis=-1)            # [B,K,S,T]
             w_sum, w_last = align_reduce
+            scale = qx.shape[-1] ** -0.5
+            S_rows = q_sel.shape[1]
+            CH = 64 if S_rows % 64 == 0 else S_rows
+
+            def _chunk_stats(c0):
+                q_c = jax.lax.dynamic_slice_in_dim(q_sel, c0, CH, axis=1)
+                if xkv_transposed:
+                    s_c = jnp.einsum(
+                        "bskd,bkdt->bkst", q_c, k_sel,
+                        preferred_element_type=jnp.float32,
+                    )
+                else:
+                    s_c = jnp.einsum(
+                        "bskd,btkd->bkst", q_c, k_sel,
+                        preferred_element_type=jnp.float32,
+                    )
+                s_c = s_c * scale
+                if cross_mask is not None:
+                    # [B,1,T]: row axis is broadcast, no slicing needed
+                    s_c = s_c + cross_mask[:, None, :, :]
+                g = jax.nn.softmax(s_c, axis=-1)                 # [B,K,CH,T]
+                ws = jax.lax.dynamic_slice_in_dim(w_sum, c0, CH, axis=1)
+                wl = jax.lax.dynamic_slice_in_dim(w_last, c0, CH, axis=1)
+                return (
+                    jnp.einsum("bkst,bs->bkt", g, ws),
+                    jnp.einsum("bkst,bs->bkt", g * g, ws),
+                    jnp.einsum("bkst,bs->bkt", g, wl),
+                )
+
+            if S_rows == CH:
+                g_sum, g_sq, g_last = _chunk_stats(0)
+            else:
+                stacked = jax.lax.map(
+                    _chunk_stats,
+                    jnp.arange(0, S_rows, CH, dtype=jnp.int32),
+                )
+                g_sum, g_sq, g_last = (x.sum(0) for x in stacked)
             asum, asq, alast = align_acc
-            g_sum = jnp.einsum("bkst,bs->bkt", gathered, w_sum)
-            g_sq = jnp.einsum("bkst,bs->bkt", gathered * gathered, w_sum)
-            g_last = jnp.einsum("bkst,bs->bkt", gathered, w_last)
             selk = sel[None, :, None]
             align_acc = (
                 asum + selk * g_sum, asq + selk * g_sq, alast + selk * g_last

@@ -28,6 +28,7 @@ Reference inversions for TPU:
 from __future__ import annotations
 
 import logging
+import time
 from dataclasses import dataclass
 from functools import partial
 from typing import List, Optional, Tuple
@@ -82,7 +83,13 @@ class AlignAttConfig:
     max_context_tokens: Optional[int] = None
     never_fire: bool = False
     cif_ckpt_path: Optional[str] = None
-    max_steps: int = 64  # static per-tick decode budget (device loop bound)
+    max_steps: int = 32  # static per-tick decode budget (device loop bound).
+                         # A ~1 s tick rarely commits >10 tokens; exhaustion
+                         # KEEPS decoded tokens and the next tick continues
+                         # (alignatt.py STOP_CAP handling), so 32 bounds the
+                         # worst lane's hold of a 24-lane group (each junk
+                         # step is ~6 ms all lanes pay) and shrinks the
+                         # self-KV cache-width temp of every tick program.
     # incremental encoding (EncPool): net-new TPU throughput mode — frames
     # are encoded once and cached; each tick re-encodes only the window tail
     enc_tail_frames: int = 0     # tail length (enc frames); 0 = auto by model
@@ -1301,12 +1308,17 @@ def run_tick_batch(
     # bookkeeping (committed in prepare_tick), so apply updates for every
     # pool-backed lane before anything gathers.
     if pool is not None:
+        t_p = time.perf_counter()
         pool.update(
             [
                 (t.pool_lane, *t.pool_update)
                 for t in ticks
                 if t.pool_lane is not None and t.pool_update is not None
             ]
+        )
+        n_t, tot = TICK_PHASE_STATS.get("pool_update", (0, 0.0))
+        TICK_PHASE_STATS["pool_update"] = (
+            n_t + 1, tot + (time.perf_counter() - t_p)
         )
 
     groups: dict = {}
@@ -1321,6 +1333,7 @@ def run_tick_batch(
 
     outs: List[Optional[TickOutputs]] = [None] * len(ticks)
     for mode, idxs in groups.items():
+        t_g = time.perf_counter()
         group = [ticks[i] for i in idxs]
         if isinstance(mode, tuple):
             _, gi, enc_mode = mode
@@ -1339,9 +1352,17 @@ def run_tick_batch(
             res = _run_group_anchor(engine, group, tokenizer, pool, enc_pool)
         else:
             res = _run_group_legacy(engine, group, tokenizer, pool)
+        mk = mode[2] + "_xkv" if isinstance(mode, tuple) else (mode or "legacy")
+        n_t, tot = TICK_PHASE_STATS.get(mk, (0, 0.0))
+        TICK_PHASE_STATS[mk] = (n_t + 1, tot + (time.perf_counter() - t_g))
         for i, o in zip(idxs, res):
             outs[i] = o
     return outs  # type: ignore[return-value]
+
+
+# mode -> (n_group_calls, total_s): where batch ticks spend wall time, by
+# encode-mode partition (exported via BatchScheduler.stats for e2e runs)
+TICK_PHASE_STATS: dict = {}
 
 
 def _run_group_legacy(engine, ticks, tokenizer, pool) -> List[TickOutputs]:
@@ -1557,8 +1578,20 @@ class AlignAttEngine:
                 cfg.enc_tail_frames = 256   # turbo class
             else:
                 cfg.enc_tail_frames = 384
+        # Large class: cap the top prefix bucket at 256. The tick program's
+        # temp grows ~27 MB/prefix-token at G=24 (the self-KV cache width
+        # P+steps is held in the prefill scan stack AND the decode loop
+        # carry: 4.9G at P=128 -> 11.9G at P=384, scripts/probe_tick_mem.py)
+        # — the P=384 program plus the resident pools EXCEEDS v5e HBM.
+        # Prefixes over the bucket keep the newest tokens (prepare_tick);
+        # the reference instead lets context reach n_text_ctx (reference
+        # align_att_base.py:59-62) because per-session torch decode never
+        # holds 24 lanes' caches at once.
+        top = 256 if (
+            dims.n_audio_state >= 1280 and dims.n_text_layer >= 16
+        ) else dims.n_text_ctx
         self.prefix_buckets = tuple(
-            b for b in self.PREFIX_BUCKETS if b < dims.n_text_ctx
+            b for b in self.PREFIX_BUCKETS if b < min(dims.n_text_ctx, top + 1)
         ) or (dims.n_text_ctx // 2,)
 
     @staticmethod
@@ -1632,9 +1665,16 @@ class AlignAttSession:
         self._xkv_epoch_seen = 0
         self._reset_segment_state()
         max_ctx = self.cfg.max_context_tokens
-        self.max_context_tokens = (
-            max_ctx if max_ctx is not None else engine.dims.n_text_ctx // 2
-        )
+        if max_ctx is None:
+            # large class: keep steady-state prefixes inside the 128 bucket
+            # (context 64 + sot 4 + current-window tokens) — prefill time
+            # and the tick program's temp both scale with the bucket (see
+            # prefix_buckets above); smaller models keep the reference-like
+            # half-context default
+            dims_ = engine.dims
+            large = dims_.n_audio_state >= 1280 and dims_.n_text_layer >= 16
+            max_ctx = 64 if large else dims_.n_text_ctx // 2
+        self.max_context_tokens = max_ctx
         self.max_text_len = engine.dims.n_text_ctx
 
     # ---- state management ----------------------------------------------------
