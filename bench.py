@@ -181,28 +181,71 @@ def bench_model(name: str, widths, results: dict, tail_frames=384, dtypes=("bf16
                     -(-dims.n_audio_ctx // 128) * 128,
                 )
                 enc_lanes = lanes + 1
+                # serving self-KV width: the TOP prefix bucket of the model
+                # class (AlignAttEngine.prefix_buckets), not the bench's
+                # anchor-prefill bucket — the decode loop's self-attention
+                # reads the full pool width every step
+                top_bucket = 256 if (
+                    dims.n_audio_state >= 1280 and dims.n_text_layer >= 16
+                ) else (384 if dims.n_audio_state >= 1280 else PREFIX_BUCKET)
+                Wc = top_bucket + DECODE_STEPS + 2
+                sshape = (dims.n_text_layer, B, Wc, dims.n_text_head, dims.head_dim)
+                K_al = int(align_layers.shape[0])
                 state = {
                     "k": jnp.zeros(shape, dt), "v": jnp.zeros(shape, dt),
                     "enc": jnp.zeros(
                         (B + 1, dims.n_audio_ctx, dims.n_audio_state), jnp.bfloat16
                     ),
+                    "sk": jnp.zeros(sshape, jnp.bfloat16),
+                    "sv": jnp.zeros(sshape, jnp.bfloat16),
+                    "asum": jnp.zeros((B, K_al, dims.n_audio_ctx), jnp.float32),
+                    "asq": jnp.zeros((B, K_al, dims.n_audio_ctx), jnp.float32),
+                    "alast": jnp.zeros((B, K_al, dims.n_audio_ctx), jnp.float32),
+                    "acount": jnp.zeros((B,), jnp.float32),
+                    "tok": jnp.zeros((B, dims.n_text_ctx), jnp.int32),
                 }
+                _SKV_KEYS = (
+                    "k", "v", "enc", "sk", "sv", "asum", "asq", "alast",
+                    "acount", "tok",
+                )
+                # refresh plan: sot row (pos 0) + the last 7 prefix rows —
+                # exactly the serving plan (_skv_refresh_plan)
+                r_pos = np.full((B, A.SKV_REFRESH_ROWS), Wc - 1, np.int32)
+                r_pos[:, 0] = 0
+                r_pos[:, 1:] = np.arange(13, 20)[None, :]
+                r_tok = np.full((B, A.SKV_REFRESH_ROWS), EOT, np.int32)
+                r_tok[:, 0] = 50258
+                r_tok[:, 1:] = rng.integers(100, 40000, (B, 7))
+                r_pos_j, r_tok_j = jnp.asarray(r_pos), jnp.asarray(r_tok)
+                skv_statics = dict(
+                    dims=dims, max_steps=DECODE_STEPS, eot=EOT,
+                    ts_begin=TS_BEGIN, no_speech_tok=NO_SPEECH, space_tok=SPACE,
+                )
 
                 def inc_tick():
-                    out = A.alignatt_tick_inc_pooled(
+                    # core layout: prefix, prefix_len, sot_index, then the
+                    # 13 args the skv program shares from content_frames on
+                    out = A.alignatt_tick_inc_skv(
                         params, audio_pool, state["k"], state["v"], state["enc"],
-                        lanes, enc_lanes, tail_start, win, write_start, *core,
-                        **statics, tail_frames=tail_frames,
+                        state["sk"], state["sv"], state["asum"], state["asq"],
+                        state["alast"], state["acount"], state["tok"],
+                        lanes, enc_lanes, tail_start, win, write_start,
+                        r_tok_j, r_pos_j, core[1], *core[3:],
+                        **skv_statics, tail_frames=tail_frames,
                     )
-                    state["k"], state["v"], state["enc"] = out[-3], out[-2], out[-1]
+                    for key, vv in zip(_SKV_KEYS, out[1:]):
+                        state[key] = vv
                     return out
 
                 def anchor_tick():
                     out = A.alignatt_tick_anchor_group(
                         params, audio_pool, state["k"], state["v"], state["enc"],
+                        state["sk"], state["sv"], state["asum"], state["asq"],
+                        state["alast"], state["acount"], state["tok"],
                         enc_lanes, *core, **statics,
                     )
-                    state["k"], state["v"], state["enc"] = out[-3], out[-2], out[-1]
+                    for key, vv in zip(_SKV_KEYS, out[1:]):
+                        state[key] = vv
                     return out
 
             t_inc = time_call(inc_tick)

@@ -74,7 +74,11 @@ def build_engine(model: str, frame_threshold: int, xkv_dtype: str,
         frame_threshold=frame_threshold,
         xkv_cache_dtype=xkv_dtype,
     )
-    return AlignAttEngine(params, dims, tok, cfg)
+    # model_name routes to the published alignment-head table (10 pairs for
+    # large-v3). Omitting it falls back to "upper half of layers, all heads"
+    # — 320 pairs at large-v3 — which inflates the align-stat recompute ~30x
+    # and OOMs the pooled tick program (16.7G > 15.75G HBM, observed).
+    return AlignAttEngine(params, dims, tok, cfg, model_name=model)
 
 
 def make_inc_session(engine, group_width: int = 1):
@@ -100,7 +104,7 @@ def make_inc_session(engine, group_width: int = 1):
     ) or cfg.xkv_cache is True
     if use_xkv and not engine.use_cif:
         xdt = jnp.float8_e4m3fn if cfg.xkv_cache_dtype == "f8" else dtype
-        s.xkv_alloc = XKVAllocator(group_width, engine.dims, dtype=xdt)
+        s.xkv_alloc = XKVAllocator.for_engine(engine, group_width, dtype=xdt)
     return s
 
 

@@ -93,6 +93,7 @@ class SessionProbe:
 
     def __init__(self):
         self.t0 = None          # wall clock when feeding started
+        self.rejected = False   # admission control turned the session away
         self.committed_end = 0.0
         self.samples = []       # (audio_end_s, emission_latency_s)
         self.proc_lag = []      # (audio_pos, remaining_time_transcription)
@@ -115,9 +116,29 @@ class SessionProbe:
 
 async def drive_session(idx, engine_kwargs, duration, stagger_s, warm_s,
                         shakeout_s, probe, barrier, started):
+    from whisperlivekit_tpu.engine.core import EngineAtCapacity
     from whisperlivekit_tpu.harness.harness import TestHarness
 
-    async with TestHarness(**engine_kwargs) as h:
+    try:
+        ctx = TestHarness(**engine_kwargs)
+        entered = await ctx.__aenter__()
+    except EngineAtCapacity:
+        # the product's admission control rejected this session (pooled-slot
+        # capacity); count it instead of letting it degrade everyone
+        probe.rejected = True
+        await barrier.wait()
+        started.set()
+        return
+    try:
+        await _drive_admitted(entered, idx, duration, stagger_s, warm_s,
+                              shakeout_s, probe, barrier, started)
+    finally:
+        await ctx.__aexit__(None, None, None)
+
+
+async def _drive_admitted(h, idx, duration, stagger_s, warm_s, shakeout_s,
+                          probe, barrier, started):
+    if True:
         h.on_update(probe.on_update)
         # warm phase: pour `warm_s` seconds of audio instantly, then hold at
         # the barrier until EVERY session's tick has run at least once — the
@@ -206,14 +227,18 @@ async def run_once(n, duration, engine_kwargs, stagger_s, warm_s, shakeout_s,
         mid is not None and late is not None and late - mid <= drift_tol
     )
     emitted = len(lats)
+    rejected = sum(1 for p in probes if p.rejected)
     starved = sum(
-        1 for p in probes if not any(end >= cut for (end, _) in p.samples)
+        1 for p in probes
+        if not p.rejected and not any(end >= cut for (end, _) in p.samples)
     )
 
     s = scheduler()
     sched = s.stats() if s is not None else None
     return {
         "n_sessions": n,
+        "n_admitted": n - rejected,
+        "n_rejected": rejected,
         "duration_s": duration,
         "wall_s": round(wall, 1),
         "keep_up": keep_up,
@@ -262,6 +287,19 @@ def main():
                     "identical code path. With real weights, use 25.")
     ap.add_argument("--no-vac", action="store_true",
                     help="disable the VAD front-end (isolation experiments)")
+    ap.add_argument("--max-steps", type=int, default=8,
+                    help="per-tick decode budget (= the product default). "
+                    "With RANDOM weights the attention gate almost never "
+                    "fires, so every tick exhausts whatever budget it has — "
+                    "8 matches real-weight token flux (~3-5 tokens per 1 s "
+                    "tick); pass 32 for an adversarial worst-case row "
+                    "(every lane decoding flat-out every tick).")
+    ap.add_argument("--decoder-dtype", default="bf16", choices=["bf16", "f8"],
+                    help="weight-only f8 decoder storage (capacity mode; "
+                    "quality-gated separately, docs/perf/ab_decoder_f8_r3)")
+    ap.add_argument("--max-sessions", type=int, default=0,
+                    help="admission cap override (0 = product auto: pooled-"
+                    "slot capacity); rejected sessions are reported")
     ap.add_argument("--anchor-cohorts", type=int, default=None,
                     help="xkv_anchor_cohorts override: stagger group "
                     "re-anchors over N sub-epochs (p95 tail A/B)")
@@ -276,6 +314,9 @@ def main():
         scheduler=True,
         xkv_cache_dtype=args.xkv_dtype,
         frame_threshold=args.frame_threshold,
+        max_decode_steps=args.max_steps,
+        decoder_dtype=args.decoder_dtype,
+        max_sessions=args.max_sessions,
         log_level="WARNING",
     )
     if args.anchor_cohorts is not None:
@@ -291,11 +332,13 @@ def main():
         results.append(res)
         print(json.dumps(res), flush=True)
 
-    sustained = [r["n_sessions"] for r in results if r["keep_up"]
+    sustained = [r["n_admitted"] for r in results if r["keep_up"]
                  and not r["n_sessions_without_output"]]
     summary = {
         "model": args.model,
         "xkv_dtype": args.xkv_dtype,
+        "decoder_dtype": args.decoder_dtype,
+        "max_steps": args.max_steps,
         "anchor_cohorts": args.anchor_cohorts,
         "max_sustained_streams": max(sustained) if sustained else 0,
         "runs": results,

@@ -77,3 +77,41 @@ def test_windowed_factory():
     from whisperlivekit_tpu.streaming.windowed import WindowedStreamingProcessor
 
     assert isinstance(proc, WindowedStreamingProcessor)
+
+
+@needs_vocab
+def test_session_admission_capacity():
+    """max_sessions bounds concurrent AudioProcessors: the (cap+1)-th raises
+    EngineAtCapacity, and cleanup() returns the slot (server "busy" path)."""
+    import asyncio
+
+    from whisperlivekit_tpu.engine.core import EngineAtCapacity
+    from whisperlivekit_tpu.session.processor import AudioProcessor
+
+    TranscriptionEngine.reset()
+    cfg = WLKConfig(
+        model_size="random:dev-tiny", lan="en", vac=False,
+        max_sessions=1, log_level="ERROR",
+    )
+    eng = TranscriptionEngine(cfg)
+    assert eng.session_capacity() == 1
+
+    p1 = AudioProcessor(transcription_engine=eng)
+    assert eng.active_sessions == 1
+    with pytest.raises(EngineAtCapacity):
+        AudioProcessor(transcription_engine=eng)
+    asyncio.run(p1.cleanup())
+    assert eng.active_sessions == 0
+    p2 = AudioProcessor(transcription_engine=eng)  # slot came back
+    asyncio.run(p2.cleanup())
+
+
+@needs_vocab
+def test_max_decode_steps_reaches_alignatt_config():
+    TranscriptionEngine.reset()
+    cfg = WLKConfig(
+        model_size="random:dev-tiny", lan="en", vac=False,
+        max_decode_steps=8, log_level="ERROR",
+    )
+    eng = TranscriptionEngine(cfg)
+    assert eng.asr.cfg.max_steps == 8

@@ -85,6 +85,21 @@ def _enc_pool(dims):
     return jnp.zeros((B + 1, dims.n_audio_ctx, dims.n_audio_state), jnp.float32)
 
 
+
+def _skv_pools(dims, aL, statics):
+    """Self-KV/stat/token pools matching XKVGroupPool's per-group arrays."""
+    Wc = 64 + statics["max_steps"] + 2
+    K = int(aL.shape[0])
+    T = dims.n_audio_ctx
+    sshape = (dims.n_text_layer, B, Wc, dims.n_text_head, dims.head_dim)
+    return (
+        jnp.zeros(sshape, jnp.float32), jnp.zeros(sshape, jnp.float32),
+        jnp.zeros((B, K, T), jnp.float32), jnp.zeros((B, K, T), jnp.float32),
+        jnp.zeros((B, K, T), jnp.float32), jnp.zeros((B,), jnp.float32),
+        jnp.zeros((B, dims.n_text_ctx), jnp.int32),
+    )
+
+
 ENC_LANES = None  # set per call: rows 1..B (0 is scratch)
 
 
@@ -98,13 +113,16 @@ def test_pooled_anchor_equals_legacy(setup):
 
     k, v = _pool(dims)
     got = A.alignatt_tick_anchor_pooled(
-        params, audio, k, v, _enc_pool(dims),
+        params, audio, k, v, _enc_pool(dims), *_skv_pools(dims, aL, statics),
         jnp.arange(1, B + 1, dtype=jnp.int32),
         jnp.arange(B, dtype=jnp.int32), *core, **statics
     )
     np.testing.assert_array_equal(np.asarray(want), np.asarray(got[0]))
     # pool rows were written (non-zero where the projection is non-zero)
-    assert float(jnp.abs(got[-3]).sum()) > 0
+    assert float(jnp.abs(got[1]).sum()) > 0
+    # the prefill seeded the self-KV pool rows and gate stats
+    assert float(jnp.abs(got[4]).sum()) > 0
+    assert float(np.asarray(got[9]).min()) > 0  # acount = prefix_len + steps
 
 
 def test_group_anchor_equals_legacy(setup):
@@ -118,7 +136,7 @@ def test_group_anchor_equals_legacy(setup):
     want = np.asarray(A.alignatt_tick(params, audio, *core, **statics))
     k, v = _pool(dims)
     got = A.alignatt_tick_anchor_group(
-        params, audio, k, v, _enc_pool(dims),
+        params, audio, k, v, _enc_pool(dims), *_skv_pools(dims, aL, statics),
         jnp.arange(1, B + 1, dtype=jnp.int32), *core, **statics
     )
     gotp = np.asarray(got[0])
@@ -136,7 +154,7 @@ def test_group_anchor_equals_legacy(setup):
 
     ref = wm.cross_kv(params, enc, dims, transposed=True)
     np.testing.assert_allclose(
-        np.asarray(got[-3])[..., : dims.n_audio_ctx], np.asarray(ref.k),
+        np.asarray(got[1])[..., : dims.n_audio_ctx], np.asarray(ref.k),
         rtol=2e-5, atol=2e-5,
     )
 
@@ -161,10 +179,11 @@ def test_pooled_inc_splices_per_spec(setup):
     enc_lanes = jnp.arange(1, B + 1, dtype=jnp.int32)
     k, v = _pool(dims)
     out = A.alignatt_tick_anchor_pooled(
-        params, jnp.asarray(audio6), k, v, _enc_pool(dims), enc_lanes,
+        params, jnp.asarray(audio6), k, v, _enc_pool(dims),
+        *_skv_pools(dims, aL, statics), enc_lanes,
         jnp.arange(B, dtype=jnp.int32), *core6, **statics,
     )
-    k, v, enc_pool = out[-3], out[-2], out[-1]
+    k, v, enc_pool = out[1], out[2], out[3]
     before_k = np.asarray(k).copy()
 
     ts = content - tail_frames
@@ -215,10 +234,11 @@ def test_odd_tail_start_covers_newest_frame(setup):
     k, v = _pool(dims)
     out = A.alignatt_tick_anchor_pooled(
         params, jnp.asarray(audio6), k, v, _enc_pool(dims),
+        *_skv_pools(dims, aL, statics),
         jnp.arange(1, B + 1, dtype=jnp.int32),
         jnp.arange(B, dtype=jnp.int32), *core, **statics,
     )
-    k, v, enc_pool = out[-3], out[-2], out[-1]
+    k, v, enc_pool = out[1], out[2], out[3]
 
     inc = A.alignatt_tick_inc_pooled(
         params, audio_i16, k, v, enc_pool,

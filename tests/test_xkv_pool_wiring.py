@@ -74,7 +74,7 @@ def test_xkv_session_mode_progression_and_anchor_parity(engine):
     window from the updated cached rows — value-equivalent to the EncPool
     merge on the refreshed frames."""
     audio_pool = AudioPool(capacity=4)
-    alloc = XKVAllocator(2, engine.dims, epoch_period=50)
+    alloc = XKVAllocator.for_engine(engine, 2, epoch_period=50)
     s = make_xkv_session(engine, audio_pool, alloc)
     plain = AlignAttSession(engine)
 
@@ -104,7 +104,7 @@ def test_epoch_synchronized_group_anchor(engine):
     """After epoch_period group inc ticks, both sessions of the group plan
     anchors in the same window and the whole-group program serves them."""
     audio_pool = AudioPool(capacity=4)
-    alloc = XKVAllocator(2, engine.dims, epoch_period=2)
+    alloc = XKVAllocator.for_engine(engine, 2, epoch_period=2)
     shared_enc = EncPool(5, engine.dims, dtype=jnp.float32)
     s1 = make_xkv_session(engine, audio_pool, alloc, shared_enc)
     s2 = make_xkv_session(engine, audio_pool, alloc, shared_enc)
@@ -132,7 +132,7 @@ def test_epoch_synchronized_group_anchor(engine):
 def test_mixed_batch_xkv_enc_legacy(engine):
     audio_pool = AudioPool(capacity=8)
     enc_pool = EncPool(4, engine.dims, dtype=jnp.float32)
-    alloc = XKVAllocator(2, engine.dims, epoch_period=50)
+    alloc = XKVAllocator.for_engine(engine, 2, epoch_period=50)
 
     s_xkv = make_xkv_session(engine, audio_pool, alloc)
     s_xkv.insert_audio(chunk(1))
@@ -157,7 +157,7 @@ def test_mixed_batch_xkv_enc_legacy(engine):
 def test_slot_overflow_falls_back_to_enc_pool(engine):
     audio_pool = AudioPool(capacity=8)
     enc_pool = EncPool(8, engine.dims, dtype=jnp.float32)
-    alloc = XKVAllocator(1, engine.dims)
+    alloc = XKVAllocator.for_engine(engine, 1)
     alloc.max_groups = 1  # one 1-wide group: second session can't get a slot
 
     s1 = make_xkv_session(engine, audio_pool, alloc)
@@ -175,7 +175,7 @@ def test_slot_overflow_falls_back_to_enc_pool(engine):
 
 def test_slot_release_on_disconnect(engine):
     audio_pool = AudioPool(capacity=4)
-    alloc = XKVAllocator(1, engine.dims)
+    alloc = XKVAllocator.for_engine(engine, 1)
     s = make_xkv_session(engine, audio_pool, alloc)
     s.insert_audio(chunk(6))
     s.prepare_tick(False)
@@ -202,7 +202,7 @@ def test_cohort_staggered_anchors(engine):
     windows — never both at once after the initial anchor — and each still
     evicts once per full epoch period."""
     audio_pool = AudioPool(capacity=4)
-    alloc = XKVAllocator(2, engine.dims, epoch_period=4, anchor_cohorts=2)
+    alloc = XKVAllocator.for_engine(engine, 2, epoch_period=4, anchor_cohorts=2)
     assert alloc.sub_period == 2
     shared_enc = EncPool(5, engine.dims, dtype=jnp.float32)
     s1 = make_xkv_session(engine, audio_pool, alloc, shared_enc)

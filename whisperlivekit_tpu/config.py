@@ -136,6 +136,22 @@ class WLKConfig:
     xkv_cache: str = "auto"                  # group cross-KV cache: auto|on|off
     xkv_cache_dtype: str = "bf16"            # pool storage: bf16 (exact) | f8 (capacity)
     xkv_anchor_cohorts: int = 1              # stagger group re-anchors (p95 tail)
+    max_decode_steps: int = 8                # per-tick decode budget (static device
+                                             # loop bound). Exhaustion keeps tokens
+                                             # and the next tick continues; final
+                                             # flushes drain in a loop
+                                             # (simul_processor._FINAL_DRAIN_TICKS).
+                                             # 8 covers real-time speech flux
+                                             # (~3-5 tokens/s) and bounds a
+                                             # hallucination-looping lane's tax on
+                                             # its 24-lane group; raise for
+                                             # burst-heavy offline use.
+    max_sessions: int = 0                    # admission cap; 0 = auto (pooled-slot
+                                             # capacity when the cross-KV pool is
+                                             # the serving path, else unlimited).
+                                             # Beyond it /asr rejects with "busy"
+                                             # instead of degrading everyone onto
+                                             # the full re-encode fallback path.
     decoder_dtype: str = "bf16"              # decoder linear weight storage: bf16
                                              # (exact) | f8 (weight-only e4m3,
                                              # halves per-step HBM weight read)

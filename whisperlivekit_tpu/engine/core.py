@@ -29,6 +29,16 @@ from ..models.whisper.tokenizer import get_tokenizer
 logger = logging.getLogger(__name__)
 
 
+class EngineAtCapacity(RuntimeError):
+    """New session exceeds the chip's admission capacity.
+
+    Raised by AudioProcessor construction when the engine already serves
+    ``session_capacity()`` sessions. Servers translate this into an explicit
+    "busy" rejection instead of admitting the session onto the full
+    re-encode fallback path, which would degrade every live session
+    (the cross-KV pool slots are the serving path at large models)."""
+
+
 def _dtype_from_str(name: str):
     return {"bfloat16": jnp.bfloat16, "float32": jnp.float32, "float16": jnp.float16}[name]
 
@@ -100,6 +110,7 @@ class SimulStreamingASR:
             ),
             xkv_cache_dtype=getattr(config, "xkv_cache_dtype", "bf16"),
             anchor_cohorts=int(getattr(config, "xkv_anchor_cohorts", 1) or 1),
+            max_steps=int(getattr(config, "max_decode_steps", 32) or 32),
         )
         self.engine = AlignAttEngine(
             params, dims, self.tokenizer, self.cfg, model_name=model_name,
@@ -203,6 +214,8 @@ class TranscriptionEngine:
         self.vac_model = None
         self.diarization_model = None
         self.translation_model = None
+        self._active_sessions = 0
+        self._session_lock = threading.Lock()
 
         self.scheduler = None
         if config.transcription and config.backend == "openai-api":
@@ -303,6 +316,51 @@ class TranscriptionEngine:
 
         if config.warmup_file:
             self.warmup(config.warmup_file)
+
+    # ---- admission ---------------------------------------------------------
+
+    def session_capacity(self) -> Optional[int]:
+        """Max concurrent sessions this chip serves without degrading.
+
+        ``config.max_sessions`` > 0 overrides; otherwise the pooled-slot
+        count when the cross-KV pool is the serving path (sessions beyond
+        it would run the full re-encode fallback every tick and poison the
+        group cadence), else None (unbounded — scheduler rotation absorbs
+        overload for the cheaper models)."""
+        cap = int(getattr(getattr(self, "config", None), "max_sessions", 0) or 0)
+        if cap > 0:
+            return cap
+        sched = getattr(self, "scheduler", None)
+        xkv = getattr(sched, "xkv", None) if sched is not None else None
+        if xkv is not None:
+            return xkv.max_groups * xkv.group_width
+        return None
+
+    def _ensure_session_state(self) -> None:
+        # test fakes stub _do_init; create the counters on first use
+        if not hasattr(self, "_session_lock"):
+            self._session_lock = threading.Lock()
+            self._active_sessions = 0
+
+    def acquire_session(self) -> None:
+        self._ensure_session_state()
+        cap = self.session_capacity()
+        with self._session_lock:
+            if cap is not None and self._active_sessions >= cap:
+                raise EngineAtCapacity(
+                    f"engine at capacity ({self._active_sessions}/{cap} sessions)"
+                )
+            self._active_sessions += 1
+
+    def release_session(self) -> None:
+        self._ensure_session_state()
+        with self._session_lock:
+            if self._active_sessions > 0:
+                self._active_sessions -= 1
+
+    @property
+    def active_sessions(self) -> int:
+        return getattr(self, "_active_sessions", 0)
 
     def warmup_synthetic(self) -> None:
         """Compile the streaming tick before the first session (fail-loud,

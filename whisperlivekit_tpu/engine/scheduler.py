@@ -153,9 +153,9 @@ class BatchScheduler:
                     else dtype
                 )
                 block_s = cfg.evict_block_s or cfg.audio_max_len / 2
-                self.xkv = XKVAllocator(
-                    self.max_lanes, engine.dims, dtype=xdt,
-                    budget_bytes=getattr(cfg, "xkv_budget_bytes", 6 << 30),
+                self.xkv = XKVAllocator.for_engine(
+                    engine, self.max_lanes, dtype=xdt,
+                    budget_bytes=getattr(cfg, "xkv_budget_bytes", 9 << 30),
                     epoch_period=max(2, int(round(block_s))),
                     anchor_cohorts=getattr(cfg, "anchor_cohorts", 1),
                 )

@@ -552,6 +552,7 @@ def decode(
     align_reduce: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
     xkv_transposed: bool = False,
     t_valid: Optional[int] = None,
+    positions_override: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray], KVCache]:
     """Teacher-forced step over S new tokens for every lane.
 
@@ -579,7 +580,16 @@ def decode(
     n_head = dims.n_text_head
     W = cache.k.shape[2]  # cache timeline width (<= n_text_ctx)
 
-    raw_pos = pos[:, None] + jnp.arange(S, dtype=jnp.int32)[None, :]  # [B,S]
+    # ``positions_override`` [B,S] decodes NON-CONTIGUOUS rows (the self-KV
+    # pool's per-tick refresh: the sot row for no_speech + the last prefix
+    # rows for fresh gate/logits against the updated cross-KV). Each row's
+    # causal mask and cache write slot follow its own position; a scratch
+    # position (cache width - 1, above any legitimate fill) parks padding
+    # rows where no query ever attends.
+    if positions_override is not None:
+        raw_pos = positions_override
+    else:
+        raw_pos = pos[:, None] + jnp.arange(S, dtype=jnp.int32)[None, :]  # [B,S]
     emb_pos = jnp.minimum(raw_pos, dims.n_text_ctx - 1)
     positions = jnp.minimum(raw_pos, W - 1)  # cache write slots
     x = dec["tok_emb"][tokens] + dec["pos_emb"][emb_pos]

@@ -163,6 +163,9 @@ class WLKServer:
         sched = getattr(self.engine, "scheduler", None)
         if sched is not None:
             payload["scheduler"] = sched.stats()
+        if hasattr(self.engine, "session_capacity"):
+            payload["active_sessions"] = self.engine.active_sessions
+            payload["session_capacity"] = self.engine.session_capacity()
         return web.json_response(payload)
 
     async def list_models(self, request: web.Request) -> web.Response:
@@ -193,12 +196,22 @@ class WLKServer:
         await ws.prepare(request)
         logger.info("WebSocket /asr opened (language=%s mode=%s)", session_language, mode)
 
-        processor = AudioProcessor(
-            transcription_engine=self.engine,
-            language=session_language,
-            mode=mode,
-            target_language=session_target_language,
-        )
+        from ..engine.core import EngineAtCapacity
+
+        try:
+            processor = AudioProcessor(
+                transcription_engine=self.engine,
+                language=session_language,
+                mode=mode,
+                target_language=session_target_language,
+            )
+        except EngineAtCapacity as e:
+            # explicit rejection beats admitting onto the degraded fallback
+            # path (every live session would pay for the overflow lane)
+            logger.warning("rejecting /asr session: %s", e)
+            await ws.send_json({"type": "error", "error": "server_busy", "detail": str(e)})
+            await ws.close(code=1013, message=b"server busy")  # 1013 = try again later
+            return ws
         diff_tracker = DiffTracker() if mode == "diff" else None
 
         await ws.send_json(
@@ -261,7 +274,12 @@ class WLKServer:
         pcm = await self._to_pcm(audio_bytes, getattr(file_field, "filename", "audio"))
         duration = len(pcm) / (16000 * 2)
 
-        processor = AudioProcessor(transcription_engine=self.engine, language=language)
+        from ..engine.core import EngineAtCapacity
+
+        try:
+            processor = AudioProcessor(transcription_engine=self.engine, language=language)
+        except EngineAtCapacity as e:
+            raise web.HTTPServiceUnavailable(reason=str(e))
         processor.is_pcm_input = True
         results_gen = await processor.create_tasks()
 

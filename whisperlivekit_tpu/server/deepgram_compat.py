@@ -171,7 +171,15 @@ async def handle_deepgram_websocket(request: web.Request, engine, config) -> web
     await ws.prepare(request)
     logger.info("Deepgram-compat WebSocket opened")
 
-    processor = AudioProcessor(transcription_engine=engine, language=language)
+    from ..engine.core import EngineAtCapacity
+
+    try:
+        processor = AudioProcessor(transcription_engine=engine, language=language)
+    except EngineAtCapacity as e:
+        logger.warning("rejecting /v1/listen session: %s", e)
+        await ws.send_json({"type": "Error", "error": "server_busy", "detail": str(e)})
+        await ws.close(code=1013, message=b"server busy")
+        return ws
     adapter = DeepgramAdapter(ws)
     adapter._vad_events = vad_events
     await adapter.send_metadata(config)

@@ -847,6 +847,11 @@ class AudioProcessor:
             self.ffmpeg_manager = FFmpegManager(self.sample_rate, self.channels)
             self.ffmpeg_manager.on_error_callback = self._on_ffmpeg_error
 
+        # admission: raises EngineAtCapacity when the chip is full (last, so
+        # a failed construction never holds a slot)
+        self.engine.acquire_session()
+        self._session_slot_held = True
+
         self._tasks: List[asyncio.Task] = []
         self._worker_tasks: List[asyncio.Task] = []
         self.last_response_content = FrontData()
@@ -1172,6 +1177,9 @@ class AudioProcessor:
             self.ingest.vad.close()
         self.metrics.total_audio_duration_s = self.ingest.seconds
         self.metrics.log_summary()
+        if getattr(self, "_session_slot_held", False):
+            self._session_slot_held = False
+            self.engine.release_session()
         logger.info("AudioProcessor cleanup complete.")
 
     # ------------------------------------------------------------------

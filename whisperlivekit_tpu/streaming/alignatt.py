@@ -63,6 +63,14 @@ XKV_WRITE_BLOCK = 128
 #: aliased cross-KV pools — measured via scripts/probe_merge_cost.py)
 DEAD_DECODE_SKIP = True
 
+#: rows per self-KV refresh decode (alignatt_tick_inc_skv): slot 0 re-decodes
+#: the sot row (fresh no_speech_p), slot R-1 the last prefix row (fresh
+#: first-token logits + gate attention); the middle slots absorb this tick's
+#: prefix delta (pending-UTF8 commits land up to a few rows behind the tail).
+#: 8 = the flash-prefill sublane granularity; bursts beyond R-1 delta rows
+#: force a (chunked) anchor for that lane instead.
+SKV_REFRESH_ROWS = 8
+
 
 @dataclass
 class AlignAttConfig:
@@ -83,13 +91,14 @@ class AlignAttConfig:
     max_context_tokens: Optional[int] = None
     never_fire: bool = False
     cif_ckpt_path: Optional[str] = None
-    max_steps: int = 32  # static per-tick decode budget (device loop bound).
-                         # A ~1 s tick rarely commits >10 tokens; exhaustion
+    max_steps: int = 8   # static per-tick decode budget (device loop bound).
+                         # A ~1 s tick rarely commits >5 tokens; exhaustion
                          # KEEPS decoded tokens and the next tick continues
-                         # (alignatt.py STOP_CAP handling), so 32 bounds the
-                         # worst lane's hold of a 24-lane group (each junk
-                         # step is ~6 ms all lanes pay) and shrinks the
-                         # self-KV cache-width temp of every tick program.
+                         # (STOP_CAP handling), and final flushes drain in a
+                         # host loop (simul_processor._FINAL_DRAIN_TICKS) —
+                         # so 8 bounds the worst lane's hold of a 24-lane
+                         # group (each junk step is ~8-14 ms all lanes pay)
+                         # and shrinks the self-KV pool + program temps.
     # incremental encoding (EncPool): net-new TPU throughput mode — frames
     # are encoded once and cached; each tick re-encodes only the window tail
     enc_tail_frames: int = 0     # tail length (enc frames); 0 = auto by model
@@ -124,9 +133,10 @@ class AlignAttConfig:
     xkv_cache_dtype: str = "bf16"  # "bf16" = exact (pooled == legacy bitwise);
                                    # "f8" = f8_e4m3 storage: ~11% more streams
                                    # + half the pool HBM, last-bit logits drift
-    xkv_budget_bytes: int = 6 << 30  # HBM cap for all groups' pools (auto
-                                     # group count; large-v3 bf16 fits 1 group
-                                     # of 24, f8 fits 2)
+    xkv_budget_bytes: int = 9 << 30  # HBM cap for all groups' pools — cross-KV
+                                     # + self-KV + gate stats (auto group
+                                     # count; large-v3 f8 xkv + bf16 skv is
+                                     # ~4.2 GB/group of 24 → 2 groups)
     anchor_cohorts: int = 1      # stagger group re-anchors over this many
                                  # sub-epochs (slot % cohorts): 1 = whole
                                  # group anchors at once (max batching, ~1 s
@@ -287,12 +297,30 @@ def _tick_core(
     xkv_transposed: bool = True,
     xkv_pre: Optional[wm.CrossKV] = None,
     xkv_t_valid: Optional[int] = None,
+    skv: Optional[dict] = None,
+    cache_width: Optional[int] = None,
+    return_state: bool = False,
 ):
     """The decode phase of one streaming tick (everything after encoding).
 
     ``xkv_pre`` supplies precomputed cross-attention K/V (the per-group HBM
     cache — see XKVGroupPool); the projection over the full window is then
-    skipped entirely. ``enc`` may be None in that mode (CIF excepted)."""
+    skipped entirely. ``enc`` may be None in that mode (CIF excepted).
+
+    ``skv`` supplies the persistent per-group decoder state (see
+    SKV design note at alignatt_tick_inc_skv): dict with ``cache``
+    (KVCache [L,G,Wc,H,Dh]), ``asum``/``asq``/``alast`` ([G,K,T] f32),
+    ``acount`` ([G] f32), ``tok`` ([G,n_text_ctx] i32), ``refresh_tokens``/
+    ``refresh_pos`` ([G,R] i32). The full-prefix prefill is then replaced by
+    an R-row refresh decode (sot row for no_speech + the last prefix rows
+    for fresh logits/gate input against the updated cross-KV); everything
+    older rides on cached rows — the reference instead re-prefills the whole
+    prompt every infer (reference align_att_base.py:206-214 new_segment
+    path + _clean_cache), which is exact but costs O(prefix) decoder passes
+    per tick.
+
+    ``return_state=True`` additionally returns (cache, (asum, asq, acount,
+    alast), tokens_buf) so anchor ticks can (re)seed the pools."""
     B = enc.shape[0] if enc is not None else xkv_pre.k.shape[1]
     align = wm.AlignSpec(layers=align_layers, heads=align_heads)
     K = align_layers.shape[0]
@@ -334,36 +362,65 @@ def _tick_core(
             out_dtype=jnp.float8_e4m3fn if xkv_f8 else None,
             transposed=xkv_transposed,
         )
-    cache = wm.init_cache(
-        dims, B, dtype=params["decoder"]["tok_emb"].dtype,
-        width=p_max + max_steps + 1,
-    )
 
-    # prefill with in-scan alignment reductions: running stats over the real
-    # prefix rows + the last row's attention, all [B,K,T] (the full [K,B,P,T]
-    # buffer would cost ~2x its size in HBM traffic per decoder layer)
-    row_mask = (jnp.arange(p_max)[None, :] < prefix_len[:, None]).astype(jnp.float32)
-    last_onehot = (
-        jnp.arange(p_max)[None, :] == (prefix_len - 1)[:, None]
-    ).astype(jnp.float32)
-    prefill_logits, (asum, asq, last_row), cache = wm.decode(
-        params, prefix, jnp.zeros((B,), jnp.int32), xkv, cache, dims,
-        align=align, align_reduce=(row_mask, last_onehot),
-        xkv_transposed=xkv_transposed, t_valid=xkv_t_valid,
-    )
-    acount = prefix_len.astype(jnp.float32)
+    if skv is not None:
+        # ---- self-KV pool fast path: R-row refresh instead of prefill ----
+        cache = skv["cache"]
+        r_tok, r_pos = skv["refresh_tokens"], skv["refresh_pos"]
+        R = r_tok.shape[1]
+        w_zero = jnp.zeros((B, R), jnp.float32)
+        w_last = (
+            jnp.arange(R)[None, :] == (R - 1)
+        ).astype(jnp.float32) * active_in.astype(jnp.float32)[:, None]
+        refresh_logits, (_, _, fresh_last), cache = wm.decode(
+            params, r_tok, jnp.zeros((B,), jnp.int32), xkv, cache, dims,
+            align=align, align_reduce=(w_zero, w_last),
+            xkv_transposed=xkv_transposed, t_valid=xkv_t_valid,
+            positions_override=r_pos,
+        )
+        asum, asq, acount = skv["asum"], skv["asq"], skv["acount"]
+        last_row = jnp.where(active_in[:, None, None], fresh_last, skv["alast"])
+        # slot 0 is the sot row by host construction; slot R-1 the last
+        # prefix row (fresh logits for the first sampled token)
+        no_speech_p = jax.nn.softmax(refresh_logits[:, 0], axis=-1)[:, no_speech_tok]
+        logits0 = refresh_logits[:, R - 1]
+        # heal the token mirror: scatter the refresh rows' tokens in place
+        tokens_buf = skv["tok"]
+        tokens_buf = tokens_buf.at[
+            jnp.arange(B)[:, None], jnp.minimum(r_pos, dims.n_text_ctx - 1)
+        ].set(jnp.where(active_in[:, None], r_tok, jnp.take_along_axis(
+            tokens_buf, jnp.minimum(r_pos, dims.n_text_ctx - 1), axis=1)))
+    else:
+        cache = wm.init_cache(
+            dims, B, dtype=params["decoder"]["tok_emb"].dtype,
+            width=cache_width or (p_max + max_steps + 1),
+        )
 
-    no_speech_logits = jnp.take_along_axis(
-        prefill_logits, sot_index[:, None, None], axis=1
-    )[:, 0]
-    no_speech_p = jax.nn.softmax(no_speech_logits, axis=-1)[:, no_speech_tok]
+        # prefill with in-scan alignment reductions: running stats over the
+        # real prefix rows + the last row's attention, all [B,K,T] (the full
+        # [K,B,P,T] buffer would cost ~2x its size in HBM traffic per layer)
+        row_mask = (jnp.arange(p_max)[None, :] < prefix_len[:, None]).astype(jnp.float32)
+        last_onehot = (
+            jnp.arange(p_max)[None, :] == (prefix_len - 1)[:, None]
+        ).astype(jnp.float32)
+        prefill_logits, (asum, asq, last_row), cache = wm.decode(
+            params, prefix, jnp.zeros((B,), jnp.int32), xkv, cache, dims,
+            align=align, align_reduce=(row_mask, last_onehot),
+            xkv_transposed=xkv_transposed, t_valid=xkv_t_valid,
+        )
+        acount = prefix_len.astype(jnp.float32)
 
-    logits0 = jnp.take_along_axis(
-        prefill_logits, (prefix_len - 1)[:, None, None], axis=1
-    )[:, 0]
+        no_speech_logits = jnp.take_along_axis(
+            prefill_logits, sot_index[:, None, None], axis=1
+        )[:, 0]
+        no_speech_p = jax.nn.softmax(no_speech_logits, axis=-1)[:, no_speech_tok]
 
-    tokens_buf = jnp.full((B, dims.n_text_ctx), eot, jnp.int32)
-    tokens_buf = jax.lax.dynamic_update_slice(tokens_buf, prefix, (0, 0))
+        logits0 = jnp.take_along_axis(
+            prefill_logits, (prefix_len - 1)[:, None, None], axis=1
+        )[:, 0]
+
+        tokens_buf = jnp.full((B, dims.n_text_ctx), eot, jnp.int32)
+        tokens_buf = jax.lax.dynamic_update_slice(tokens_buf, prefix, (0, 0))
 
     frame_idx = jnp.arange(T, dtype=jnp.int32)[None, :]
 
@@ -465,11 +522,19 @@ def _tick_core(
         # cases this step's decoder pass would produce logits/attention no
         # one consumes — skip it (one full decoder pass, ~12 ms at large-v3
         # B=24). Exact: the skipped outputs are dead in the exit state.
+        # with a persistent cache (skv), lanes riding along inactive must
+        # park their writes on the scratch row (width-1, above any legit
+        # fill) instead of corrupting their pooled rows at position 0+k
+        pos_w = jnp.minimum(cur_len, dims.n_text_ctx - 1)
+        if skv is not None:
+            scratch = skv["cache"].k.shape[2] - 1
+            pos_w = jnp.where(active_in, pos_w, scratch)
+
         def _do_decode(cache):
             return wm.decode(
                 params,
                 tok[:, None],
-                jnp.minimum(cur_len, dims.n_text_ctx - 1),
+                pos_w,
                 xkv,
                 cache,
                 dims,
@@ -527,7 +592,7 @@ def _tick_core(
     # platform (~40 ms measured); seven per tick made the host-side scatter
     # ~8x the cost of the fetch itself. Layout: tokens | frames | n_keep |
     # reason | last_attend | fire | no_speech_p (f32 bits).
-    return jnp.concatenate(
+    packed = jnp.concatenate(
         [
             out["new_tokens"],
             out["frames"],
@@ -541,6 +606,14 @@ def _tick_core(
         ],
         axis=1,
     )
+    if return_state:
+        state = (
+            out["cache"],
+            (out["asum"], out["asq"], out["acount"], out["last_row"]),
+            out["tokens"],
+        )
+        return packed, state
+    return packed
 
 
 _TICK_STATICS = (
@@ -816,11 +889,137 @@ def alignatt_tick_inc_pooled(
 
 @partial(
     jax.jit,
+    static_argnames=(
+        "dims", "max_steps", "eot", "ts_begin", "no_speech_tok", "space_tok",
+        "xkv_f8", "xkv_transposed", "tail_frames",
+    ),
+    donate_argnames=(
+        "xkv_k", "xkv_v", "enc_pool", "skv_k", "skv_v",
+        "asum", "asq", "acount", "alast", "tok_pool",
+    ),
+)
+def alignatt_tick_inc_skv(
+    params,
+    audio_pool,            # [W, N] int16 — device-resident audio windows
+    xkv_k,                 # [L, G, H, Dh, Tp] — group cross-KV cache (donated)
+    xkv_v,
+    enc_pool,              # [cap, T, D] — cached encoder frames (donated)
+    skv_k,                 # [L, G, Wc, H, Dh] — group decoder self-KV (donated)
+    skv_v,
+    asum,                  # [G, K, T] f32 — gate stats running sums (donated)
+    asq,
+    alast,                 # [G, K, T] f32 — last attended row (donated)
+    acount,                # [G] f32 (donated... rides in the stats tuple)
+    tok_pool,              # [G, n_text_ctx] i32 — cache-row token mirror (donated)
+    audio_lanes,           # [G] i32 — audio pool rows, slot order
+    enc_lanes,             # [G] i32
+    tail_start,            # [G] first encoder frame of the re-encoded tail
+    win_frames,            # [G] current window extent (0 = inactive slot)
+    write_start,           # [G] first frame whose features are (re)written
+    refresh_tokens,        # [G, R] i32 — slot0 = sot row, slot R-1 = last prefix row
+    refresh_pos,           # [G, R] i32 — cache positions (Wc-1 = scratch padding)
+    prefix_len, content_frames, last_attend, is_last,
+    max_new, suppress_mask, align_layers, align_heads, frame_threshold,
+    rewind_threshold, nonspeech_prob, active_in, cif_w, cif_b,
+    dims, max_steps, eot, ts_begin, no_speech_tok, space_tok,
+    xkv_f8=False, xkv_transposed=True,
+    tail_frames: int = 160,
+):
+    """Steady-state pooled tick over BOTH persistent caches.
+
+    On top of alignatt_tick_inc_pooled (tail re-encode + aligned cross-KV
+    splice), the decoder's per-tick full-prefix prefill is replaced by an
+    R-row refresh against the group-resident self-KV pool: committed tokens'
+    K/V rows persist across ticks exactly as the reference persists its
+    dict KV cache across decode steps WITHIN one infer (reference
+    whisper/model.py:100-146) — extended across ticks. The refresh decodes
+    the sot row (fresh no_speech_p over the updated audio) and the last
+    prefix rows (fresh first-token logits + gate attention), so every
+    per-tick decision input reflects the new audio; only the deep history
+    rows keep their decode-time hidden states (bounded staleness: their
+    own encoder frames are frozen by the incremental-encode scheme, and
+    every anchor epoch rebuilds them exactly — see docs/perf/ab_skv_r3).
+
+    This also removes the prefix bucket from the program signature: ONE
+    compiled shape per (G, steps, tail) serves every prefix length, where
+    the prefill path compiled per bucket (32/64/128/256) x mode.
+
+    Returns (outs, xkv_k', xkv_v', enc_pool', skv_k', skv_v', asum', asq',
+    alast', acount', tok_pool')."""
+    from ..ops.xkv_merge import W_SPLICE, splice_dst0, xkv_splice, xkv_splice_ref
+
+    G = audio_lanes.shape[0]
+    T = dims.n_audio_ctx
+    Tp = xkv_k.shape[-1]
+    rows = audio_pool[audio_lanes]
+
+    tail_start = tail_start + (tail_start & 1)
+    tail = _slice_audio_tails(rows, tail_start, tail_frames)
+    mel = log_mel_spectrogram(
+        tail, n_mels=dims.n_mels, precision=jax.lax.Precision.DEFAULT
+    )
+    mel = pad_or_trim(mel, 2 * tail_frames)
+    enc_tail = wm.encode(params, mel, dims, pos_start=tail_start)  # [G, F, D]
+
+    Wb = XKV_WRITE_BLOCK
+    ws_eff = jnp.where(
+        win_frames >= Wb, jnp.minimum(write_start, win_frames - Wb), write_start
+    )
+    ws_eff = jnp.maximum(ws_eff, tail_start)
+    cached = enc_pool[enc_lanes]  # [G, T, D]
+    t_idx = jnp.arange(T, dtype=jnp.int32)[None, :]
+    src = jnp.clip(t_idx - tail_start[:, None], 0, tail_frames - 1)
+    fresh_rows = jnp.take_along_axis(
+        enc_tail.astype(enc_pool.dtype), src[:, :, None], axis=1
+    )
+    in_write = (t_idx >= ws_eff[:, None]) & (t_idx < win_frames[:, None])
+    enc_rows = jnp.where(in_write[:, :, None], fresh_rows, cached)
+    enc_pool = enc_pool.at[enc_lanes].set(enc_rows)
+
+    dst0 = splice_dst0(win_frames, Tp)
+    w_idx = dst0[:, None] + jnp.arange(W_SPLICE, dtype=jnp.int32)[None, :]
+    window_rows = jnp.take_along_axis(
+        enc_rows, jnp.minimum(w_idx, T - 1)[:, :, None], axis=1
+    ).astype(enc_tail.dtype)
+    fresh = wm.cross_kv(params, window_rows, dims, transposed=True)
+    if jax.default_backend() == "tpu":
+        xkv_k, xkv_v = xkv_splice(xkv_k, xkv_v, fresh.k, fresh.v, win_frames)
+    else:
+        xkv_k, xkv_v = xkv_splice_ref(xkv_k, xkv_v, fresh.k, fresh.v, win_frames)
+
+    skv = dict(
+        cache=wm.KVCache(k=skv_k, v=skv_v),
+        asum=asum, asq=asq, acount=acount, alast=alast, tok=tok_pool,
+        refresh_tokens=refresh_tokens, refresh_pos=refresh_pos,
+    )
+    packed, (cache, (asum, asq, acount, alast), tok_pool) = _tick_core(
+        params, None, None, prefix_len, None, content_frames,
+        last_attend, is_last, max_new, suppress_mask, align_layers,
+        align_heads, frame_threshold, rewind_threshold, nonspeech_prob,
+        active_in, cif_w, cif_b, dims, 0, max_steps, eot, ts_begin,
+        no_speech_tok, space_tok, False, xkv_f8, xkv_transposed,
+        xkv_pre=wm.CrossKV(k=xkv_k, v=xkv_v),
+        xkv_t_valid=dims.n_audio_ctx if Tp > dims.n_audio_ctx else None,
+        skv=skv, return_state=True,
+    )
+    return (
+        packed, xkv_k, xkv_v, enc_pool, cache.k, cache.v,
+        asum, asq, alast, acount, tok_pool,
+    )
+
+
+@partial(
+    jax.jit,
     static_argnames=_TICK_STATICS,
-    donate_argnames=("xkv_k", "xkv_v", "enc_pool"),
+    donate_argnames=(
+        "xkv_k", "xkv_v", "enc_pool", "skv_k", "skv_v",
+        "asum", "asq", "acount", "alast", "tok_pool",
+    ),
 )
 def alignatt_tick_anchor_pooled(
-    params, audio, xkv_k, xkv_v, enc_pool, enc_lanes, slots,
+    params, audio, xkv_k, xkv_v, enc_pool,
+    skv_k, skv_v, asum, asq, alast, acount, tok_pool,
+    enc_lanes, slots,
     prefix, prefix_len, sot_index, content_frames, last_attend, is_last,
     max_new, suppress_mask, align_layers, align_heads, frame_threshold,
     rewind_threshold, nonspeech_prob, active_in, cif_w, cif_b,
@@ -835,8 +1034,10 @@ def alignatt_tick_anchor_pooled(
     The tick itself decodes from the freshly computed dense cross-KV (in
     compute dtype), so an anchor tick's outputs match the legacy program
     exactly; the pool stores the pool-dtype cast the inc ticks will read.
+    The prefill also (re)seeds the lanes' self-KV/stat/token pool rows
+    (slot-scatter; padded lanes drop).
 
-    Returns (*tick outputs, xkv_k', xkv_v')."""
+    Returns (*tick outputs, pools...)."""
     enc = _tick_front(params, audio, dims, mel_pallas)
     enc_pool = enc_pool.at[enc_lanes].set(enc.astype(enc_pool.dtype))
     fresh = wm.cross_kv(params, enc, dims, transposed=True)
@@ -848,24 +1049,40 @@ def alignatt_tick_anchor_pooled(
     xkv_v = xkv_v.at[:, slots].set(
         jnp.pad(fresh.v.astype(xkv_v.dtype), padw), mode="drop"
     )
-    outs = _tick_core(
+    packed, (cache, (n_asum, n_asq, n_acount, n_alast), n_tok) = _tick_core(
         params, enc, prefix, prefix_len, sot_index, content_frames,
         last_attend, is_last, max_new, suppress_mask, align_layers,
         align_heads, frame_threshold, rewind_threshold, nonspeech_prob,
         active_in, cif_w, cif_b, dims, p_max, max_steps, eot, ts_begin,
         no_speech_tok, space_tok, use_cif, xkv_f8, xkv_transposed,
         xkv_pre=fresh,
+        cache_width=skv_k.shape[2], return_state=True,
     )
-    return (outs, xkv_k, xkv_v, enc_pool)
+    skv_k = skv_k.at[:, slots].set(cache.k.astype(skv_k.dtype), mode="drop")
+    skv_v = skv_v.at[:, slots].set(cache.v.astype(skv_v.dtype), mode="drop")
+    asum = asum.at[slots].set(n_asum, mode="drop")
+    asq = asq.at[slots].set(n_asq, mode="drop")
+    alast = alast.at[slots].set(n_alast, mode="drop")
+    acount = acount.at[slots].set(n_acount, mode="drop")
+    tok_pool = tok_pool.at[slots].set(n_tok, mode="drop")
+    return (
+        packed, xkv_k, xkv_v, enc_pool,
+        skv_k, skv_v, asum, asq, alast, acount, tok_pool,
+    )
 
 
 @partial(
     jax.jit,
     static_argnames=_TICK_STATICS,
-    donate_argnames=("xkv_k", "xkv_v", "enc_pool"),
+    donate_argnames=(
+        "xkv_k", "xkv_v", "enc_pool", "skv_k", "skv_v",
+        "asum", "asq", "acount", "alast", "tok_pool",
+    ),
 )
 def alignatt_tick_anchor_group(
-    params, audio, xkv_k, xkv_v, enc_pool, enc_lanes,
+    params, audio, xkv_k, xkv_v, enc_pool,
+    skv_k, skv_v, asum, asq, alast, acount, tok_pool,
+    enc_lanes,
     prefix, prefix_len, sot_index, content_frames, last_attend, is_last,
     max_new, suppress_mask, align_layers, align_heads, frame_threshold,
     rewind_threshold, nonspeech_prob, active_in, cif_w, cif_b,
@@ -878,18 +1095,23 @@ def alignatt_tick_anchor_group(
     which OOMs at large-v3 G=24 bf16). The decode reads the rebuilt pool, so
     with a bf16 pool the outputs equal the legacy program exactly.
 
+    The full-prefix prefill that the anchor runs anyway also (re)seeds the
+    group's self-KV pool + gate-stat pools EXACTLY, so between anchors the
+    steady ticks (alignatt_tick_inc_skv) can skip prefill entirely;
+    inactive slots keep their pooled rows untouched.
+
     The scheduler aligns a group's window evictions to a shared epoch so this
     runs once per eviction block for the whole group (batching the anchors
     measured ~6x cheaper than staggering them lane-by-lane).
 
-    Returns (*tick outputs, xkv_k', xkv_v')."""
+    Returns (*tick outputs, pools...)."""
     enc = _tick_front(params, audio, dims, mel_pallas)
     keep = active_in[:, None, None]
     enc_rows = jnp.where(keep, enc.astype(enc_pool.dtype), enc_pool[enc_lanes])
     enc_pool = enc_pool.at[enc_lanes].set(enc_rows)
     pooled = wm.cross_kv_into_pool(params, enc, xkv_k, xkv_v, dims, active=active_in)
     Tp = pooled.k.shape[-1]
-    outs = _tick_core(
+    packed, (cache, (n_asum, n_asq, n_acount, n_alast), n_tok) = _tick_core(
         params, enc, prefix, prefix_len, sot_index, content_frames,
         last_attend, is_last, max_new, suppress_mask, align_layers,
         align_heads, frame_threshold, rewind_threshold, nonspeech_prob,
@@ -897,8 +1119,21 @@ def alignatt_tick_anchor_group(
         no_speech_tok, space_tok, use_cif, xkv_f8, xkv_transposed,
         xkv_pre=pooled,
         xkv_t_valid=dims.n_audio_ctx if Tp > dims.n_audio_ctx else None,
+        cache_width=skv_k.shape[2], return_state=True,
     )
-    return (outs, pooled.k, pooled.v, enc_pool)
+    sel5 = active_in[None, :, None, None, None]
+    skv_k = jnp.where(sel5, cache.k.astype(skv_k.dtype), skv_k)
+    skv_v = jnp.where(sel5, cache.v.astype(skv_v.dtype), skv_v)
+    sel3 = active_in[:, None, None]
+    asum = jnp.where(sel3, n_asum, asum)
+    asq = jnp.where(sel3, n_asq, asq)
+    alast = jnp.where(sel3, n_alast, alast)
+    acount = jnp.where(active_in, n_acount, acount)
+    tok_pool = jnp.where(active_in[:, None], n_tok, tok_pool)
+    return (
+        packed, pooled.k, pooled.v, enc_pool,
+        skv_k, skv_v, asum, asq, alast, acount, tok_pool,
+    )
 
 
 class XKVGroupPool:
@@ -910,7 +1145,15 @@ class XKVGroupPool:
     group's tick programs; sessions pin to a slot for their lifetime and a
     migration forces a re-anchor. Scale-out = more groups, not wider ones."""
 
-    def __init__(self, group_width: int, dims: ModelDimensions, dtype=jnp.bfloat16):
+    def __init__(
+        self,
+        group_width: int,
+        dims: ModelDimensions,
+        dtype=jnp.bfloat16,
+        skv_width: int = 0,
+        align_count: int = 0,
+        skv_dtype=jnp.bfloat16,
+    ):
         self.group_width = group_width
         t_pad = -(-dims.n_audio_ctx // 128) * 128  # splice DMA tile alignment
         shape = (
@@ -919,6 +1162,23 @@ class XKVGroupPool:
         )
         self.k = jnp.zeros(shape, dtype)
         self.v = jnp.zeros(shape, dtype)
+        # persistent decoder state (see alignatt_tick_inc_skv): self-KV rows
+        # for the prefix+decoded tokens, gate-stat running sums, and the
+        # cache-row token mirror the dry penalty reads. Width covers the top
+        # prefix bucket + the step budget + 1 scratch row (index Wc-1, the
+        # park slot for inactive lanes' writes).
+        self.skv_width = skv_width
+        if skv_width:
+            G = group_width
+            sshape = (dims.n_text_layer, G, skv_width, dims.n_text_head, dims.head_dim)
+            self.skv_k = jnp.zeros(sshape, skv_dtype)
+            self.skv_v = jnp.zeros(sshape, skv_dtype)
+            T = dims.n_audio_ctx
+            self.asum = jnp.zeros((G, align_count, T), jnp.float32)
+            self.asq = jnp.zeros((G, align_count, T), jnp.float32)
+            self.alast = jnp.zeros((G, align_count, T), jnp.float32)
+            self.acount = jnp.zeros((G,), jnp.float32)
+            self.tok = jnp.zeros((G, dims.n_text_ctx), jnp.int32)
         self._free = list(range(group_width))
         # group-synchronized anchor epochs: the scheduler bumps `sub_epoch`
         # once per (eviction block / anchor_cohorts) of inc ticks; a session
@@ -932,13 +1192,23 @@ class XKVGroupPool:
         self.ticks_since_epoch = 0
 
     @staticmethod
-    def row_bytes(dims: ModelDimensions, dtype) -> int:
+    def row_bytes(
+        dims: ModelDimensions, dtype, skv_width: int = 0, align_count: int = 0,
+        skv_dtype=jnp.bfloat16,
+    ) -> int:
         itemsize = jnp.dtype(dtype).itemsize
         t_pad = -(-dims.n_audio_ctx // 128) * 128
-        return (
+        b = (
             2 * dims.n_text_layer * dims.n_text_head * dims.head_dim
             * t_pad * itemsize
         )
+        if skv_width:
+            b += (
+                2 * dims.n_text_layer * skv_width * dims.n_text_head
+                * dims.head_dim * jnp.dtype(skv_dtype).itemsize
+            )
+            b += 3 * align_count * dims.n_audio_ctx * 4 + dims.n_text_ctx * 4 + 4
+        return b
 
     def acquire(self) -> Optional[int]:
         return self._free.pop() if self._free else None
@@ -966,19 +1236,46 @@ class XKVAllocator:
         group_width: int,
         dims: ModelDimensions,
         dtype=jnp.bfloat16,
-        budget_bytes: int = 6 << 30,
+        budget_bytes: int = 9 << 30,
         epoch_period: int = 15,
         anchor_cohorts: int = 1,
+        skv_width: int = 0,
+        align_count: int = 0,
+        skv_dtype=jnp.bfloat16,
     ):
         self.group_width = group_width
         self.dims = dims
         self.dtype = dtype
+        self.skv_width = skv_width
+        self.align_count = align_count
+        self.skv_dtype = skv_dtype
         self.epoch_period = epoch_period
         self.anchor_cohorts = max(1, min(anchor_cohorts, epoch_period))
         self.sub_period = max(1, epoch_period // self.anchor_cohorts)
-        row = XKVGroupPool.row_bytes(dims, dtype)
+        row = XKVGroupPool.row_bytes(
+            dims, dtype, skv_width=skv_width, align_count=align_count,
+            skv_dtype=skv_dtype,
+        )
         self.max_groups = max(1, int(budget_bytes // (row * group_width)))
         self.groups: List[XKVGroupPool] = []
+
+    @classmethod
+    def for_engine(cls, engine: "AlignAttEngine", group_width: int, **kw) -> "XKVAllocator":
+        """Allocator sized for an engine's serving programs: self-KV width =
+        top prefix bucket + step budget + 1 legit slot + 1 scratch row."""
+        cfg = engine.cfg
+        kw.setdefault("dtype", (
+            jnp.float8_e4m3fn
+            if getattr(cfg, "xkv_cache_dtype", "bf16") == "f8"
+            else engine.params["decoder"]["tok_emb"].dtype
+        ))
+        kw.setdefault("skv_dtype", engine.params["decoder"]["tok_emb"].dtype)
+        return cls(
+            group_width, engine.dims,
+            skv_width=engine.prefix_buckets[-1] + cfg.max_steps + 2,
+            align_count=int(engine.align_layers.shape[0]),
+            **kw,
+        )
 
     def acquire(self) -> Optional[Tuple[int, int]]:
         for gi, g in enumerate(self.groups):
@@ -987,7 +1284,11 @@ class XKVAllocator:
                 return gi, slot
         if len(self.groups) < self.max_groups:
             self.groups.append(
-                XKVGroupPool(self.group_width, self.dims, dtype=self.dtype)
+                XKVGroupPool(
+                    self.group_width, self.dims, dtype=self.dtype,
+                    skv_width=self.skv_width, align_count=self.align_count,
+                    skv_dtype=self.skv_dtype,
+                )
             )
             return len(self.groups) - 1, self.groups[-1].acquire()
         return None
@@ -1167,6 +1468,10 @@ class TickInputs:
     # group-resident cross-KV cache routing (XKVAllocator)
     xkv_gi: Optional[int] = None
     xkv_slot: Optional[int] = None
+    # self-KV refresh plan (pooled inc ticks; see alignatt_tick_inc_skv):
+    # slot 0 = sot row, slot R-1 = last prefix row, scratch-padded between
+    skv_refresh_tokens: Optional[np.ndarray] = None  # [R] int32
+    skv_refresh_pos: Optional[np.ndarray] = None     # [R] int32
 
 
 @dataclass
@@ -1427,17 +1732,23 @@ def _run_group_inc(engine, ticks, tokenizer, pool, enc_pool) -> List[TickOutputs
 def _run_group_xkv_inc(
     engine, ticks, tokenizer, pool, enc_pool, xkv, gi
 ) -> List[TickOutputs]:
-    """Incremental ticks over a group-resident cross-KV pool.
+    """Incremental ticks over the group-resident cross-KV AND self-KV pools
+    (alignatt_tick_inc_skv — no per-tick prefill, no prefix upload, and no
+    prefix-bucket program dimension).
 
     The program ALWAYS runs at the group's full width in slot order (the
     decode reads the pool arrays directly; a per-lane gather measured 4.8x
     slower). Slots without a submission this window ride along inactive
-    (win_frames=0, active=False): their pool rows are untouched and their
-    outputs discarded."""
+    (win_frames=0, active=False, refresh rows parked on the scratch slot):
+    their pool rows are untouched and their outputs discarded."""
     g = xkv.groups[gi]
     G = g.group_width
-    p_max = max(engine.bucket_for(len(t.prefix_ids)) for t in ticks)
-    arr = _collect_lane_arrays(engine, ticks, tokenizer, G, p_max)
+    Wc = g.skv_width
+    R = SKV_REFRESH_ROWS
+    # p_max only sizes the (unused-on-device) prefix array here; prefix_len
+    # still rides to the device for the loop's position math
+    p_host = max(8, max(len(t.prefix_ids) for t in ticks))
+    arr = _collect_lane_arrays(engine, ticks, tokenizer, G, p_host)
     # re-index every per-lane row from input order to slot order
     slot_of = [t.xkv_slot for t in ticks]
     perm = np.full(G, -1, np.int32)
@@ -1454,6 +1765,8 @@ def _run_group_xkv_inc(
     tail_start = np.zeros(G, np.int32)
     win_frames = np.zeros(G, np.int32)
     write_start = np.zeros(G, np.int32)
+    r_tok = np.full((G, R), tokenizer.eot, np.int32)
+    r_pos = np.full((G, R), Wc - 1, np.int32)  # scratch for absent slots
     for t in ticks:
         sl = t.xkv_slot
         audio_lanes[sl] = t.pool_lane
@@ -1461,15 +1774,34 @@ def _run_group_xkv_inc(
         tail_start[sl] = t.tail_start
         win_frames[sl] = t.content_frames
         write_start[sl] = t.write_start
-    args, statics = _core_device_args(engine, arr, tokenizer, p_max)
-    raw = alignatt_tick_inc_pooled(
+        r_tok[sl] = t.skv_refresh_tokens
+        r_pos[sl] = t.skv_refresh_pos
+    cfg = engine.cfg
+    raw = alignatt_tick_inc_skv(
         engine.params, pool.pool, g.k, g.v, enc_pool.pool,
+        g.skv_k, g.skv_v, g.asum, g.asq, g.alast, g.acount, g.tok,
         jnp.asarray(audio_lanes), jnp.asarray(enc_lanes),
         jnp.asarray(tail_start), jnp.asarray(win_frames),
         jnp.asarray(write_start),
-        *args, **statics, tail_frames=engine.cfg.enc_tail_frames,
+        jnp.asarray(r_tok), jnp.asarray(r_pos),
+        jnp.asarray(arr["prefix_len"]),
+        jnp.asarray(arr["content_frames"]),
+        jnp.asarray(arr["last_attend"]),
+        jnp.asarray(arr["is_last"]),
+        jnp.asarray(arr["max_new"]),
+        engine.suppress_mask, engine.align_layers, engine.align_heads,
+        jnp.int32(cfg.frame_threshold), jnp.int32(cfg.rewind_threshold),
+        jnp.float32(cfg.nonspeech_prob),
+        jnp.asarray(arr["active"]),
+        engine.cif_w, engine.cif_b,
+        dims=engine.dims, max_steps=cfg.max_steps, eot=tokenizer.eot,
+        ts_begin=tokenizer.timestamp_begin, no_speech_tok=tokenizer.no_speech,
+        space_tok=tokenizer.encode(" ")[0],
+        xkv_f8=cfg.xkv_f8, xkv_transposed=getattr(cfg, "xkv_transposed", True),
+        tail_frames=cfg.enc_tail_frames,
     )
-    g.k, g.v, enc_pool.pool = raw[-3], raw[-2], raw[-1]
+    (g.k, g.v, enc_pool.pool, g.skv_k, g.skv_v,
+     g.asum, g.asq, g.alast, g.acount, g.tok) = raw[1:]
     slot_outs = _scatter_outputs(raw[0], G, engine.cfg.max_steps)
     return [slot_outs[sl] for sl in slot_of]
 
@@ -1508,9 +1840,11 @@ def _run_group_xkv_anchor(
         args, statics = _core_device_args(engine, arr, tokenizer, p_max)
         raw = alignatt_tick_anchor_group(
             engine.params, jnp.asarray(audio), g.k, g.v, enc_pool.pool,
+            g.skv_k, g.skv_v, g.asum, g.asq, g.alast, g.acount, g.tok,
             jnp.asarray(enc_lanes), *args, **statics,
         )
-        g.k, g.v, enc_pool.pool = raw[-3], raw[-2], raw[-1]
+        (g.k, g.v, enc_pool.pool, g.skv_k, g.skv_v,
+         g.asum, g.asq, g.alast, g.acount, g.tok) = raw[1:]
         slot_outs = _scatter_outputs(raw[0], G, engine.cfg.max_steps)
         return [slot_outs[sl] for sl in slot_of]
 
@@ -1531,9 +1865,11 @@ def _run_group_xkv_anchor(
         args, statics = _core_device_args(engine, arr, tokenizer, p_max)
         raw = alignatt_tick_anchor_pooled(
             engine.params, audio, g.k, g.v, enc_pool.pool,
+            g.skv_k, g.skv_v, g.asum, g.asq, g.alast, g.acount, g.tok,
             jnp.asarray(enc_lanes), jnp.asarray(slots), *args, **statics,
         )
-        g.k, g.v, enc_pool.pool = raw[-3], raw[-2], raw[-1]
+        (g.k, g.v, enc_pool.pool, g.skv_k, g.skv_v,
+         g.asum, g.asq, g.alast, g.acount, g.tok) = raw[1:]
         outs.extend(_scatter_outputs(raw[0], n, engine.cfg.max_steps))
     return outs
 
@@ -1694,6 +2030,9 @@ class AlignAttSession:
         self.pending_incomplete_tokens: List[int] = []
         self.pending_incomplete_token_timestamps: List[float] = []
         self.pending_retries = 0
+        # device self-KV cache token mirror (None = pooled rows invalid; the
+        # next pooled tick rebuilds them via the anchor prefill)
+        self.skv_tokens: Optional[List[int]] = None
         # audio-pool sync bookkeeping
         self.evicted_samples = 0
         self._audio_gen = getattr(self, "_audio_gen", 0) + 1
@@ -1894,10 +2233,56 @@ class AlignAttSession:
             ti.tail_start = max(0, win - tail)
         else:
             ti.enc_mode = "anchor"
+        if pooled and ti.enc_mode == "inc":
+            plan = self._skv_refresh_plan(ti)
+            if plan is None:
+                # prefix shifted beyond the refresh reach (context trim,
+                # truncation, >R-1 delta rows): rebuild the pooled decoder
+                # state with a full prefill via the anchor path
+                ti.enc_mode = "anchor"
+            else:
+                ti.skv_refresh_tokens, ti.skv_refresh_pos = plan
         if pooled:
             ti.xkv_gi, ti.xkv_slot = self.xkv_gi, self.xkv_slot
         ti.enc_lane = self.enc_lane
         ti.enc_commit = (key, win)
+
+    def _skv_refresh_plan(self, ti: TickInputs):
+        """Per-tick self-KV refresh rows (see alignatt_tick_inc_skv).
+
+        The device cache mirror (``skv_tokens`` — prefix + kept tokens as of
+        the last tick) tells which cache rows already match this tick's
+        prefix; the refresh must cover the delta rows [common, plen) plus
+        the always-fresh sot row (slot 0) and last prefix row (slot R-1).
+        Returns (tokens [R], positions [R]) or None when the delta exceeds
+        the refresh reach (→ full prefill)."""
+        m = self.skv_tokens
+        p = ti.prefix_ids
+        plen = len(p)
+        if m is None or plen == 0:
+            return None
+        R = SKV_REFRESH_ROWS
+        common = 0
+        for a, b in zip(m, p):
+            if a != b:
+                break
+            common += 1
+        if plen - common > R - 1:
+            return None
+        g = self.xkv_alloc.groups[self.xkv_gi]
+        Wc = g.skv_width
+        if plen > Wc - 2:  # would collide with the scratch row; anchor instead
+            return None
+        start = max(0, min(common, plen - 1), plen - (R - 1))
+        rows = list(range(start, plen))
+        tok = np.full(R, self.tokenizer.eot, np.int32)
+        pos = np.full(R, Wc - 1, np.int32)  # scratch padding
+        si = min(ti.sot_index, plen - 1)
+        tok[0], pos[0] = p[si], si
+        k = R - len(rows)
+        for j, q in enumerate(rows):
+            tok[k + j], pos[k + j] = p[q], q
+        return tok, pos
 
     def _attach_pool_update(self, ti: TickInputs, audio: np.ndarray) -> None:
         """Compute the incremental device-window update for pool mode."""
@@ -1954,6 +2339,7 @@ class AlignAttSession:
             self.xkv_slot = None
             self._enc_synced_frames = 0
             self._enc_key = None
+            self.skv_tokens = None
 
     def infer(self, is_last: bool = False) -> List[ASRToken]:
         ti = self.prepare_tick(is_last)
@@ -1978,9 +2364,20 @@ class AlignAttSession:
         cfg = self.cfg
         n = out.n_keep
         reason_code = out.reason
+        self.last_stop_reason = reason_code  # final-flush drain reads this
         self.last_attend_frame = out.last_attend
 
         kept = list(out.new_tokens[:n])
+        if ti.xkv_slot is not None and ti.enc_mode is not None:
+            # the device cache rows hold prefix + kept MINUS the final kept
+            # token: its decode can be the loop's dead last step (skipped —
+            # see DEAD_DECODE_SKIP), so its K/V row may not exist. Leaving
+            # it out of the mirror makes the next tick's refresh re-decode
+            # it (the refresh always covers [common, plen) plus the last
+            # row). Rows beyond are dropped-token leftovers, masked until
+            # overwritten.
+            mirror = kept if reason_code != STOP_REWIND else []
+            self.skv_tokens = list(ti.prefix_ids) + [int(t) for t in mirror[:-1]]
         step_frames = out.frames
         # timestamps: one per executed step; token i gets frame of step i
         # (= attention of the previous token — reference off-by-one semantics,
@@ -2057,6 +2454,7 @@ class AlignAttSession:
             self.context = TokenBufferCtx(
                 self.tokenizer, prefix_token_ids=[self.tokenizer.sot_prev]
             )
+            self.skv_tokens = None
             self.detected_language = top
 
     # ---- post-decode helpers (reference align_att_base.py:325-470) -----------

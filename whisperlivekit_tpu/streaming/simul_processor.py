@@ -188,9 +188,25 @@ class SimulStreamingOnlineProcessor:
 
     # ---- main tick -----------------------------------------------------------
 
+    # final-flush drain bound: ticks whose decode exhausted the per-tick
+    # step budget (STOP_CAP) keep their tokens and continue — mid-stream the
+    # next 1 s tick picks up naturally, but is_last is the LAST tick, so it
+    # re-ticks here until the gate/EOT stops it (the reference instead gives
+    # one infer a ~50-token cap, reference align_att_base.py:206-214; the
+    # batched engine keeps per-tick budgets small to bound a looping lane's
+    # group tax and drains flushes in this loop)
+    _FINAL_DRAIN_TICKS = 8
+
     def process_iter(self, is_last: bool = False) -> Tuple[List[ASRToken], float]:
         try:
             timestamped_words = self.model.infer(is_last=is_last)
+            if is_last:
+                from .alignatt import STOP_CAP
+
+                for _ in range(self._FINAL_DRAIN_TICKS):
+                    if getattr(self.model, "last_stop_reason", None) != STOP_CAP:
+                        break
+                    timestamped_words += self.model.infer(is_last=True)
         except Exception:
             logger.exception("SimulStreaming processing error")
             return [], self.end
@@ -203,6 +219,16 @@ class SimulStreamingOnlineProcessor:
             if ti is None:
                 return [], self.end
             timestamped_words = await self.scheduler.submit(self.model, ti)
+            if is_last:
+                from .alignatt import STOP_CAP
+
+                for _ in range(self._FINAL_DRAIN_TICKS):
+                    if getattr(self.model, "last_stop_reason", None) != STOP_CAP:
+                        break
+                    ti = self.model.prepare_tick(True)
+                    if ti is None:
+                        break
+                    timestamped_words += await self.scheduler.submit(self.model, ti)
         except Exception:
             logger.exception("SimulStreaming scheduled tick error")
             return [], self.end
