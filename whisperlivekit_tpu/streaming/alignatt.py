@@ -1815,10 +1815,20 @@ def _run_group_xkv_anchor(
     eviction case) runs the whole-group program (in-place layer-scanned pool
     rebuild — no dense [L,G,H,Dh,T] transient); small subsets (session join,
     resets) run the slot-scatter program in chunks so the dense per-chunk
-    cross-KV transient stays bounded."""
+    cross-KV transient stays bounded.
+
+    With MORE THAN ONE group resident the whole-group program is skipped
+    even for full-group anchors: its working set (full-window encode of G
+    lanes + prefill) needs several GB of transient HBM on top of every
+    group's pools, and on a 16 GB v5e chip that RESOURCE_EXHAUSTs once a
+    second group's ~4 GB of pools is resident (observed e2e at n=40; a
+    failed program with donated inputs also destroys the group's pools, so
+    one OOM cascades into a full serving outage). The chunked slot-scatter
+    path bounds the transient to ~2 GB per 8-lane chunk at the cost of a
+    slower (but 1/epoch_period-amortized, cohort-staggered) anchor."""
     g = xkv.groups[gi]
     G = g.group_width
-    if len(ticks) >= max(2, G // 2):
+    if len(ticks) >= max(2, G // 2) and len(xkv.groups) == 1:
         p_max = max(engine.bucket_for(len(t.prefix_ids)) for t in ticks)
         arr = _collect_lane_arrays(engine, ticks, tokenizer, G, p_max)
         slot_of = [t.xkv_slot for t in ticks]
