@@ -44,6 +44,13 @@ import jax.numpy as jnp
 TICK_SECONDS = 1.0       # audio consumed per tick per lane
 DECODE_STEPS = 8         # pinned decode work per tick (~ realistic token rate)
 PREFIX_BUCKET = 64
+# pooled-serving (xkv) arms model the production prefix policy: the decode
+# prefix is capped at serving_prefix_cap=96 (context trimmed first —
+# AlignAttSession.trim_context), the self-KV pool is cap+steps+2 rows, and
+# anchors prefill at the 96 bucket with a near-full prefix (steady-state
+# worst case: context + sot + ~1 evict-block of committed tokens)
+SERVING_PREFIX_CAP = 96
+SERVING_PLEN = 90
 ANCHOR_EVERY = 15.0      # ticks between full re-anchors (evict block = 15 s,
                          # the production default: audio_max_len/2)
 EOT = 50257
@@ -58,7 +65,7 @@ SWEEP = [
     ("large-v3-turbo", (64,), 256, ("bf16",), False),
     # "f8d" = f8 pool + weight-only f8 decoder linears (config decoder_dtype
     # = f8; docs/perf/decoder_f8_v5e.json: 7.6 vs 14.2 ms/step at B=24)
-    ("large-v3", (24, 32), 160, ("bf16", "f8", "f8d"), True),
+    ("large-v3", (24, 32, 40), 160, ("bf16", "f8", "f8d"), True),
 ]
 
 
@@ -75,13 +82,14 @@ def _align(dims, name):
     return jnp.asarray(pairs[:, 0]), jnp.asarray(pairs[:, 1])
 
 
-def _core_args(dims, B, rng, suppress_mask, align_layers, align_heads):
-    prefix = np.full((B, PREFIX_BUCKET), EOT, np.int32)
+def _core_args(dims, B, rng, suppress_mask, align_layers, align_heads,
+               bucket=PREFIX_BUCKET, plen=20):
+    prefix = np.full((B, bucket), EOT, np.int32)
     prefix[:, 0:4] = [50258, 50259, 50359, 50363]
-    prefix[:, 4:20] = rng.integers(100, 40000, (B, 16))
+    prefix[:, 4:plen] = rng.integers(100, 40000, (B, plen - 4))
     return (
         jnp.asarray(prefix),
-        jnp.full((B,), 20, jnp.int32),
+        jnp.full((B,), plen, jnp.int32),
         jnp.zeros((B,), jnp.int32),              # sot_index
         jnp.full((B,), 1500, jnp.int32),         # content_frames
         jnp.full((B,), -200, jnp.int32),         # last_attend
@@ -147,7 +155,13 @@ def bench_model(name: str, widths, results: dict, tail_frames=384, dtypes=("bf16
             audio_pool = jnp.asarray(
                 (rng.integers(-3000, 3000, (B, 16000 * 30))).astype(np.int16)
             )
-            core = _core_args(dims, B, rng, suppress_mask, align_layers, align_heads)
+            if dt_name == "enc":
+                core = _core_args(dims, B, rng, suppress_mask, align_layers, align_heads)
+            else:
+                core = _core_args(
+                    dims, B, rng, suppress_mask, align_layers, align_heads,
+                    bucket=SERVING_PREFIX_CAP, plen=SERVING_PLEN,
+                )
             lanes = jnp.arange(B, dtype=jnp.int32)
             tail_start = jnp.full((B,), 1500 - tail_frames, jnp.int32)
             win = jnp.full((B,), 1500, jnp.int32)
@@ -181,14 +195,12 @@ def bench_model(name: str, widths, results: dict, tail_frames=384, dtypes=("bf16
                     -(-dims.n_audio_ctx // 128) * 128,
                 )
                 enc_lanes = lanes + 1
-                # serving self-KV width: the TOP prefix bucket of the model
-                # class (AlignAttEngine.prefix_buckets), not the bench's
-                # anchor-prefill bucket — the decode loop's self-attention
-                # reads the full pool width every step
-                top_bucket = 256 if (
-                    dims.n_audio_state >= 1280 and dims.n_text_layer >= 16
-                ) else (384 if dims.n_audio_state >= 1280 else PREFIX_BUCKET)
-                Wc = top_bucket + DECODE_STEPS + 2
+                # serving self-KV width = the production prefix cap
+                # (XKVAllocator.for_engine): the decode loop COPIES the pool
+                # every step (scan restacking), so width is ~linear in tick
+                # time — top-bucket sizing (266 rows) was the r3 capacity
+                # regression (docs/perf/probe_skv_width.json)
+                Wc = SERVING_PREFIX_CAP + DECODE_STEPS + 2
                 sshape = (dims.n_text_layer, B, Wc, dims.n_text_head, dims.head_dim)
                 K_al = int(align_layers.shape[0])
                 state = {
@@ -212,7 +224,7 @@ def bench_model(name: str, widths, results: dict, tail_frames=384, dtypes=("bf16
                 # exactly the serving plan (_skv_refresh_plan)
                 r_pos = np.full((B, A.SKV_REFRESH_ROWS), Wc - 1, np.int32)
                 r_pos[:, 0] = 0
-                r_pos[:, 1:] = np.arange(13, 20)[None, :]
+                r_pos[:, 1:] = np.arange(SERVING_PLEN - 7, SERVING_PLEN)[None, :]
                 r_tok = np.full((B, A.SKV_REFRESH_ROWS), EOT, np.int32)
                 r_tok[:, 0] = 50258
                 r_tok[:, 1:] = rng.integers(100, 40000, (B, 7))
@@ -221,6 +233,7 @@ def bench_model(name: str, widths, results: dict, tail_frames=384, dtypes=("bf16
                     dims=dims, max_steps=DECODE_STEPS, eot=EOT,
                     ts_begin=TS_BEGIN, no_speech_tok=NO_SPEECH, space_tok=SPACE,
                 )
+                anchor_statics = dict(statics, p_max=SERVING_PREFIX_CAP)
 
                 def inc_tick():
                     # core layout: prefix, prefix_len, sot_index, then the
@@ -242,7 +255,7 @@ def bench_model(name: str, widths, results: dict, tail_frames=384, dtypes=("bf16
                         params, audio_pool, state["k"], state["v"], state["enc"],
                         state["sk"], state["sv"], state["asum"], state["asq"],
                         state["alast"], state["acount"], state["tok"],
-                        enc_lanes, *core, **statics,
+                        enc_lanes, *core, **anchor_statics,
                     )
                     for key, vv in zip(_SKV_KEYS, out[1:]):
                         state[key] = vv
@@ -269,10 +282,17 @@ def bench_model(name: str, widths, results: dict, tail_frames=384, dtypes=("bf16
             # random weights is chaotic-worst-case only.
             if streams > best_streams and dt_name != "f8d":
                 best_streams, best_B, best_lat = streams, B, t_amort
-            del audio_pool, core, state
         except Exception as e:
             print(f"{name} B={B} {dt_name}: failed ({type(e).__name__})", file=sys.stderr, flush=True)
             results[f"{name}_B{B}_{dt_name}"] = f"FAILED {type(e).__name__}"
+        finally:
+            # a failed arm (HBM OOM) must not leak its pools into the next
+            # arm's allocation budget — r4 saw a bf16 B=40 OOM poison the
+            # f8/f8d B=40 arms that fit on their own
+            audio_pool = core = state = inc_tick = anchor_tick = None  # noqa: F841
+            import gc
+
+            gc.collect()
     print(
         f"{name}: peak {best_streams:.1f} streams at B={best_B} "
         f"(p50 tick latency {best_lat*1e3:.0f} ms)",

@@ -322,6 +322,21 @@ def main():
     if args.anchor_cohorts is not None:
         engine_kwargs["xkv_anchor_cohorts"] = args.anchor_cohorts
 
+    # prime: a tiny throwaway run builds the (cached) engine, whose
+    # scheduler kicks the serving-program precompile thread; joining it
+    # guarantees no measured window below contains a compile (the r3 runs
+    # spent most of their window compiling — wall 798 s for a 60 s run)
+    print("[e2e] priming engine + serving-program compile cache ...", flush=True)
+    asyncio.run(run_once(2, 5.0, engine_kwargs, 0.0, 5.0, 5.0,
+                         args.drift_tolerance))
+    from whisperlivekit_tpu.harness.harness import _engine_cache
+
+    for eng in _engine_cache.values():
+        th = getattr(getattr(eng, "scheduler", None), "_precompile_thread", None)
+        if th is not None:
+            th.join(timeout=1800)
+    print("[e2e] priming done", flush=True)
+
     results = []
     for n in args.n:
         print(f"[e2e] n={n} duration={args.duration}s ...", flush=True)

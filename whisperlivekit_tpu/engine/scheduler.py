@@ -159,6 +159,27 @@ class BatchScheduler:
                     epoch_period=max(2, int(round(block_s))),
                     anchor_cohorts=getattr(cfg, "anchor_cohorts", 1),
                 )
+        # AOT-compile the steady-serving program set off the critical path
+        # (persistent compile cache): without this the first multi-group
+        # anchor / straggler shape compiles mid-stream and stalls every
+        # session of the group for 30-90 s (observed e2e r3)
+        self._precompile_thread = None
+        if self.xkv is not None and os.environ.get("WLK_PRECOMPILE", "1").lower() not in (
+            "0", "false", "off"
+        ):
+            import jax
+
+            if jax.default_backend() == "tpu":
+                import threading
+
+                from ..streaming.alignatt import precompile_serving_programs
+
+                self._precompile_thread = threading.Thread(
+                    target=precompile_serving_programs,
+                    args=(engine, self.xkv, self.enc_pool.capacity, self.pool.capacity),
+                    daemon=True, name="serving-precompile",
+                )
+                self._precompile_thread.start()
 
     # ---- public API ------------------------------------------------------------
 

@@ -142,6 +142,27 @@ class AlignAttConfig:
                                  # group anchors at once (max batching, ~1 s
                                  # stall at large-v3); 3 = only ~G/3 lanes
                                  # anchor per stall (p95 word-emission tail)
+    serving_prefix_cap: int = 0  # pooled-serving bound on the decode prefix
+                                 # (context + sot + in-window committed
+                                 # tokens). Sizes the self-KV pool width
+                                 # (cap + max_steps + 2): the decode loop
+                                 # copies the pool every step (lax.scan
+                                 # restacking), so tick time scales ~linearly
+                                 # with it — sizing pools to the TOP prefix
+                                 # bucket (266 rows) regressed capacity 73.5
+                                 # -> 58.9 streams and OOM'd B=32 (r3); cap 96
+                                 # measured 356 ms vs 581 at B=32 f8
+                                 # (docs/perf/probe_skv_width.json). Context
+                                 # is trimmed FIRST to fit the cap, so the
+                                 # effective text history is still the last
+                                 # ~cap tokens (context IS scrolled committed
+                                 # history); the reference instead lets the
+                                 # prompt reach n_text_ctx - 20 ~= 428
+                                 # (reference align_att_base.py:100-113) —
+                                 # see docs/perf/README.md for the measured
+                                 # capacity cost of wider caps.
+                                 # 0 = auto: 96 when the xkv group pools are
+                                 # on, uncapped otherwise.
 
 
 class TokenBufferCtx:
@@ -1164,9 +1185,10 @@ class XKVGroupPool:
         self.v = jnp.zeros(shape, dtype)
         # persistent decoder state (see alignatt_tick_inc_skv): self-KV rows
         # for the prefix+decoded tokens, gate-stat running sums, and the
-        # cache-row token mirror the dry penalty reads. Width covers the top
-        # prefix bucket + the step budget + 1 scratch row (index Wc-1, the
-        # park slot for inactive lanes' writes).
+        # cache-row token mirror the dry penalty reads. Width covers the
+        # serving prefix cap + the step budget + 1 scratch row (index Wc-1,
+        # the park slot for inactive lanes' writes); sessions' prefixes are
+        # trimmed/truncated to the cap (AlignAttSession.trim_context).
         self.skv_width = skv_width
         if skv_width:
             G = group_width
@@ -1190,6 +1212,14 @@ class XKVGroupPool:
         # each stall is a small chunked program (p95 tail latency)
         self.sub_epoch = 0
         self.ticks_since_epoch = 0
+        # failure-recovery bookkeeping: a pooled program that dies with
+        # donated inputs destroys this group's pools; _recover_group swaps
+        # in fresh arrays and bumps `generation` so every session of the
+        # group invalidates its device mirrors (skv_tokens) and re-anchors
+        self.generation = 0
+        # memoized "the whole-group anchor OOM'd here": never retry it on
+        # this group topology (the chunked path is the survivable fallback)
+        self.whole_anchor_blocked = False
 
     @staticmethod
     def row_bytes(
@@ -1262,7 +1292,14 @@ class XKVAllocator:
     @classmethod
     def for_engine(cls, engine: "AlignAttEngine", group_width: int, **kw) -> "XKVAllocator":
         """Allocator sized for an engine's serving programs: self-KV width =
-        top prefix bucket + step budget + 1 legit slot + 1 scratch row."""
+        serving prefix cap + step budget + 1 legit slot + 1 scratch row.
+
+        The cap (not the top prefix bucket) sizes the pool: the decode loop
+        copies the full pool every step (the cache rides the layer scan as
+        xs and is restacked as ys), so tick time scales ~linearly with the
+        width — top-bucket sizing (266 rows at large-v3) measured 581 ms vs
+        356 at the 106-row cap for the same B=32 f8 tick, and OOM'd bf16
+        (docs/perf/probe_skv_width.json; the r3 capacity regression)."""
         cfg = engine.cfg
         kw.setdefault("dtype", (
             jnp.float8_e4m3fn
@@ -1272,7 +1309,8 @@ class XKVAllocator:
         kw.setdefault("skv_dtype", engine.params["decoder"]["tok_emb"].dtype)
         return cls(
             group_width, engine.dims,
-            skv_width=engine.prefix_buckets[-1] + cfg.max_steps + 2,
+            skv_width=(engine.serving_prefix_cap or engine.prefix_buckets[-1])
+            + cfg.max_steps + 2,
             align_count=int(engine.align_layers.shape[0]),
             **kw,
         )
@@ -1327,6 +1365,9 @@ class EncPool:
         self.capacity = capacity
         self.pool = jnp.zeros((capacity, dims.n_audio_ctx, dims.n_audio_state), dtype)
         self._free = list(range(1, capacity))
+        # bumped by _recover_group when a failed donated program destroyed
+        # the pool; sessions re-sync (full re-anchor) on generation change
+        self.generation = 0
 
     def acquire(self) -> Optional[int]:
         return self._free.pop() if self._free else None
@@ -1727,6 +1768,260 @@ def _run_group_inc(engine, ticks, tokenizer, pool, enc_pool) -> List[TickOutputs
 
 
 # ---------------------------------------------------------------------------
+# Pooled-program failure containment
+#
+# Every pooled tick/anchor program donates the group's HBM pools. A program
+# that fails AFTER donation (the observed case: RESOURCE_EXHAUSTED compiling
+# or running the whole-group anchor with a second group's pools resident,
+# e2e r3 n=40) leaves the donated buffers deleted — without recovery one OOM
+# cascades into a full serving outage for every session of the group.
+# Containment has two layers:
+#   1. a budget guard (_whole_group_anchor_fits): AOT-ask XLA for the
+#      program's temp size and compare against the device's free HBM, so the
+#      destructive attempt is not made when it cannot fit (the r3 guard was
+#      the proxy `len(groups) == 1`, which also disabled the ~6x-cheaper
+#      whole-group anchor on devices where it fits — ADVICE r3 #2);
+#   2. recovery (_recover_group): on ANY pooled-program failure, swap in
+#      fresh pool arrays, bump generations so sessions invalidate their
+#      device mirrors (next tick re-anchors from host audio — the audio pool
+#      is never donated to tick programs), and serve the in-flight ticks
+#      through the legacy full-window program so no session misses a tick.
+# ---------------------------------------------------------------------------
+
+#: free-HBM safety margin for the whole-group anchor budget check
+_ANCHOR_HBM_MARGIN = 512 << 20
+
+
+def _device_free_bytes() -> Optional[int]:
+    try:
+        dev = jax.local_devices()[0]
+        stats = dev.memory_stats()
+        return int(stats["bytes_limit"]) - int(stats["bytes_in_use"])
+    except Exception:
+        return None
+
+
+def _anchor_group_temp_bytes(engine, xkv: "XKVAllocator", G: int, p_max: int) -> Optional[int]:
+    """XLA's temp-buffer size for the whole-group anchor program at this
+    shape (AOT lowering — nothing runs). Cached per shape on the engine;
+    the compile populates the persistent compile cache, so the first real
+    anchor does not pay it again."""
+    key = (G, p_max, str(xkv.dtype), str(xkv.skv_dtype), xkv.skv_width)
+    cache = getattr(engine, "_anchor_temp_cache", None)
+    if cache is None:
+        cache = engine._anchor_temp_cache = {}
+    if key in cache:
+        return cache[key]
+    try:
+        dims = engine.dims
+        sds = jax.ShapeDtypeStruct
+        p_sds = jax.tree.map(lambda x: sds(x.shape, x.dtype), engine.params)
+        Tp = -(-dims.n_audio_ctx // 128) * 128
+        kv = sds((dims.n_text_layer, G, dims.n_text_head, dims.head_dim, Tp), xkv.dtype)
+        skv = sds(
+            (dims.n_text_layer, G, xkv.skv_width, dims.n_text_head, dims.head_dim),
+            xkv.skv_dtype,
+        )
+        K = int(engine.align_layers.shape[0])
+        stat = sds((G, K, dims.n_audio_ctx), jnp.float32)
+        i32 = lambda *s: sds(s, jnp.int32)  # noqa: E731
+        cap = 4 * G  # enc/audio pool capacities scale with lanes (scheduler)
+        cfg = engine.cfg
+        lowered = alignatt_tick_anchor_group.lower(
+            p_sds,
+            sds((G, N_SAMPLES), jnp.int16),
+            kv, kv,
+            sds((cap + 1, dims.n_audio_ctx, dims.n_audio_state),
+                engine.params["decoder"]["tok_emb"].dtype),
+            skv, skv, stat, stat, stat, sds((G,), jnp.float32),
+            i32(G, dims.n_text_ctx),
+            i32(G),                                  # enc_lanes
+            i32(G, p_max), i32(G), i32(G), i32(G), i32(G),
+            sds((G,), bool), i32(G),
+            sds((dims.n_vocab,), jnp.float32),
+            sds((K,), jnp.int32), sds((K,), jnp.int32),
+            sds((), jnp.int32), sds((), jnp.int32), sds((), jnp.float32),
+            sds((G,), bool),
+            sds((dims.n_audio_state,), jnp.float32), sds((), jnp.float32),
+            dims=dims, p_max=p_max, max_steps=cfg.max_steps,
+            eot=engine.tokenizer.eot, ts_begin=engine.tokenizer.timestamp_begin,
+            no_speech_tok=engine.tokenizer.no_speech,
+            space_tok=engine.tokenizer.encode(" ")[0],
+            use_cif=engine.use_cif, xkv_f8=cfg.xkv_f8,
+            xkv_transposed=getattr(cfg, "xkv_transposed", True),
+            mel_pallas=getattr(cfg, "mel_pallas", False),
+        )
+        mem = lowered.compile().memory_analysis()
+        temp = int(getattr(mem, "temp_size_in_bytes", 0))
+    except Exception as e:  # lowering/compiling itself OOM'd or unsupported
+        logger.warning("anchor-group AOT memory analysis failed: %s", e)
+        temp = None
+    cache[key] = temp
+    return temp
+
+
+def _whole_group_anchor_fits(engine, xkv: "XKVAllocator", gi: int, G: int, p_max: int) -> bool:
+    """Budget-math guard for the whole-group anchor: its XLA temp must fit
+    in the device's free HBM (pools of EVERY resident group count against
+    it) with a safety margin. Falls back to the single-group proxy when the
+    platform exposes no memory stats (e.g. CPU tests)."""
+    g = xkv.groups[gi]
+    if g.whole_anchor_blocked:
+        return False
+    free = _device_free_bytes()
+    if free is None:
+        return len(xkv.groups) == 1
+    temp = _anchor_group_temp_bytes(engine, xkv, G, p_max)
+    if temp is None:
+        return len(xkv.groups) == 1
+    return temp + _ANCHOR_HBM_MARGIN <= free
+
+
+def precompile_serving_programs(
+    engine, xkv: "XKVAllocator", enc_capacity: int, audio_capacity: int
+) -> dict:
+    """AOT-compile the steady-serving program set into the (persistent)
+    compile cache so no session ever stalls on a mid-stream compile:
+
+    - the group inc tick (alignatt_tick_inc_skv at the group width),
+    - the chunked anchor (alignatt_tick_anchor_pooled at B=8 x cap bucket —
+      the ONE shape capped engines route every chunk to),
+    - the whole-group anchor (via _anchor_group_temp_bytes, which the
+      budget guard needs anyway).
+
+    The r3 e2e runs spent most of their measured window compiling these
+    lazily (ADVICE r3 #4: the first multi-group anchor stalled serving).
+    Returns {program: compile_seconds}. Nothing runs on device."""
+    dims = engine.dims
+    cfg = engine.cfg
+    tok = engine.tokenizer
+    sds = jax.ShapeDtypeStruct
+    p_sds = jax.tree.map(lambda x: sds(x.shape, x.dtype), engine.params)
+    Tp = -(-dims.n_audio_ctx // 128) * 128
+    G = xkv.group_width
+    K = int(engine.align_layers.shape[0])
+    wdt = engine.params["decoder"]["tok_emb"].dtype
+    kv = lambda: sds((dims.n_text_layer, G, dims.n_text_head, dims.head_dim, Tp), xkv.dtype)  # noqa: E731
+    skv = lambda: sds(  # noqa: E731
+        (dims.n_text_layer, G, xkv.skv_width, dims.n_text_head, dims.head_dim),
+        xkv.skv_dtype,
+    )
+    stat = lambda: sds((G, K, dims.n_audio_ctx), jnp.float32)  # noqa: E731
+    i32 = lambda *s: sds(s, jnp.int32)  # noqa: E731
+    enc_p = lambda: sds((enc_capacity, dims.n_audio_ctx, dims.n_audio_state), wdt)  # noqa: E731
+    statics = dict(
+        dims=dims, max_steps=cfg.max_steps, eot=tok.eot,
+        ts_begin=tok.timestamp_begin, no_speech_tok=tok.no_speech,
+        space_tok=tok.encode(" ")[0],
+        xkv_f8=cfg.xkv_f8, xkv_transposed=getattr(cfg, "xkv_transposed", True),
+    )
+    times: dict = {}
+
+    t0 = time.perf_counter()
+    try:
+        alignatt_tick_inc_skv.lower(
+            p_sds, sds((audio_capacity, N_SAMPLES), jnp.int16),
+            kv(), kv(), enc_p(), skv(), skv(), stat(), stat(), stat(),
+            sds((G,), jnp.float32), i32(G, dims.n_text_ctx),
+            i32(G), i32(G), i32(G), i32(G), i32(G),
+            i32(G, SKV_REFRESH_ROWS), i32(G, SKV_REFRESH_ROWS),
+            i32(G), i32(G), i32(G), sds((G,), bool), i32(G),
+            sds((dims.n_vocab,), jnp.float32),
+            sds((K,), jnp.int32), sds((K,), jnp.int32),
+            sds((), jnp.int32), sds((), jnp.int32), sds((), jnp.float32),
+            sds((G,), bool),
+            sds((dims.n_audio_state,), jnp.float32), sds((), jnp.float32),
+            tail_frames=cfg.enc_tail_frames, **statics,
+        ).compile()
+        times["inc_skv"] = round(time.perf_counter() - t0, 1)
+    except Exception as e:
+        logger.warning("precompile inc_skv failed: %s", e)
+        times["inc_skv"] = None
+
+    p_max = engine.bucket_for(engine.serving_prefix_cap or engine.prefix_buckets[-1])
+    B = 8
+    t0 = time.perf_counter()
+    try:
+        alignatt_tick_anchor_pooled.lower(
+            p_sds, sds((B, N_SAMPLES), jnp.int16),
+            kv(), kv(), enc_p(), skv(), skv(), stat(), stat(), stat(),
+            sds((G,), jnp.float32), i32(G, dims.n_text_ctx),
+            i32(B), i32(B),
+            i32(B, p_max), i32(B), i32(B), i32(B), i32(B),
+            sds((B,), bool), i32(B),
+            sds((dims.n_vocab,), jnp.float32),
+            sds((K,), jnp.int32), sds((K,), jnp.int32),
+            sds((), jnp.int32), sds((), jnp.int32), sds((), jnp.float32),
+            sds((B,), bool),
+            sds((dims.n_audio_state,), jnp.float32), sds((), jnp.float32),
+            p_max=p_max, use_cif=engine.use_cif,
+            mel_pallas=getattr(cfg, "mel_pallas", False), **statics,
+        ).compile()
+        times["anchor_pooled"] = round(time.perf_counter() - t0, 1)
+    except Exception as e:
+        logger.warning("precompile anchor_pooled failed: %s", e)
+        times["anchor_pooled"] = None
+
+    t0 = time.perf_counter()
+    temp = _anchor_group_temp_bytes(engine, xkv, G, p_max)
+    times["anchor_group"] = round(time.perf_counter() - t0, 1) if temp is not None else None
+    logger.info("serving programs precompiled: %s", times)
+    return times
+
+
+def _recover_group(engine, xkv: "XKVAllocator", gi: int, enc_pool: Optional[EncPool]) -> None:
+    """Rebuild a group's (and the encoder pool's) donated-and-destroyed
+    arrays with fresh zeros and bump generations: sessions notice on their
+    next prepare_tick (generation mismatch), drop their device mirrors, and
+    re-anchor from host audio + prefix — the anchor prefill reseeds every
+    pool row exactly, so recovery costs one anchor per session and loses no
+    audio (host segments and the audio pool are intact)."""
+    g = xkv.groups[gi]
+    dims = engine.dims
+    Tp = -(-dims.n_audio_ctx // 128) * 128
+    G = g.group_width
+    shape = (dims.n_text_layer, G, dims.n_text_head, dims.head_dim, Tp)
+    g.k = jnp.zeros(shape, xkv.dtype)
+    g.v = jnp.zeros(shape, xkv.dtype)
+    if g.skv_width:
+        K = int(engine.align_layers.shape[0])
+        sshape = (dims.n_text_layer, G, g.skv_width, dims.n_text_head, dims.head_dim)
+        g.skv_k = jnp.zeros(sshape, xkv.skv_dtype)
+        g.skv_v = jnp.zeros(sshape, xkv.skv_dtype)
+        T = dims.n_audio_ctx
+        g.asum = jnp.zeros((G, K, T), jnp.float32)
+        g.asq = jnp.zeros((G, K, T), jnp.float32)
+        g.alast = jnp.zeros((G, K, T), jnp.float32)
+        g.acount = jnp.zeros((G,), jnp.float32)
+        g.tok = jnp.zeros((G, dims.n_text_ctx), jnp.int32)
+    g.generation += 1
+    if enc_pool is not None:
+        enc_pool.pool = jnp.zeros(
+            (enc_pool.capacity, dims.n_audio_ctx, dims.n_audio_state),
+            engine.params["decoder"]["tok_emb"].dtype,
+        )
+        enc_pool.generation += 1
+    n_t, tot = TICK_PHASE_STATS.get("pool_recovery", (0, 0.0))
+    TICK_PHASE_STATS["pool_recovery"] = (n_t + 1, tot)
+
+
+def _run_pooled_recovering(call, engine, xkv, gi, enc_pool, ticks, tokenizer, pool, what: str):
+    """Run a pooled group program; on failure, contain it: recover the
+    group's pools and serve the in-flight ticks via the legacy full-window
+    program (correct from host state alone). The whole-group anchor
+    additionally memoizes the failure so it is never retried on this group
+    (the chunked path takes over permanently)."""
+    try:
+        return call()
+    except (jax.errors.JaxRuntimeError, RuntimeError):
+        logger.exception(
+            "pooled %s program failed for group %d — recovering pools, "
+            "serving %d lanes via the legacy program", what, gi, len(ticks)
+        )
+        if what == "anchor_group":
+            xkv.groups[gi].whole_anchor_blocked = True
+        _recover_group(engine, xkv, gi, enc_pool)
+        return _run_group_legacy(engine, ticks, tokenizer, pool)
 
 
 def _run_group_xkv_inc(
@@ -1777,33 +2072,39 @@ def _run_group_xkv_inc(
         r_tok[sl] = t.skv_refresh_tokens
         r_pos[sl] = t.skv_refresh_pos
     cfg = engine.cfg
-    raw = alignatt_tick_inc_skv(
-        engine.params, pool.pool, g.k, g.v, enc_pool.pool,
-        g.skv_k, g.skv_v, g.asum, g.asq, g.alast, g.acount, g.tok,
-        jnp.asarray(audio_lanes), jnp.asarray(enc_lanes),
-        jnp.asarray(tail_start), jnp.asarray(win_frames),
-        jnp.asarray(write_start),
-        jnp.asarray(r_tok), jnp.asarray(r_pos),
-        jnp.asarray(arr["prefix_len"]),
-        jnp.asarray(arr["content_frames"]),
-        jnp.asarray(arr["last_attend"]),
-        jnp.asarray(arr["is_last"]),
-        jnp.asarray(arr["max_new"]),
-        engine.suppress_mask, engine.align_layers, engine.align_heads,
-        jnp.int32(cfg.frame_threshold), jnp.int32(cfg.rewind_threshold),
-        jnp.float32(cfg.nonspeech_prob),
-        jnp.asarray(arr["active"]),
-        engine.cif_w, engine.cif_b,
-        dims=engine.dims, max_steps=cfg.max_steps, eot=tokenizer.eot,
-        ts_begin=tokenizer.timestamp_begin, no_speech_tok=tokenizer.no_speech,
-        space_tok=tokenizer.encode(" ")[0],
-        xkv_f8=cfg.xkv_f8, xkv_transposed=getattr(cfg, "xkv_transposed", True),
-        tail_frames=cfg.enc_tail_frames,
+
+    def call():
+        raw = alignatt_tick_inc_skv(
+            engine.params, pool.pool, g.k, g.v, enc_pool.pool,
+            g.skv_k, g.skv_v, g.asum, g.asq, g.alast, g.acount, g.tok,
+            jnp.asarray(audio_lanes), jnp.asarray(enc_lanes),
+            jnp.asarray(tail_start), jnp.asarray(win_frames),
+            jnp.asarray(write_start),
+            jnp.asarray(r_tok), jnp.asarray(r_pos),
+            jnp.asarray(arr["prefix_len"]),
+            jnp.asarray(arr["content_frames"]),
+            jnp.asarray(arr["last_attend"]),
+            jnp.asarray(arr["is_last"]),
+            jnp.asarray(arr["max_new"]),
+            engine.suppress_mask, engine.align_layers, engine.align_heads,
+            jnp.int32(cfg.frame_threshold), jnp.int32(cfg.rewind_threshold),
+            jnp.float32(cfg.nonspeech_prob),
+            jnp.asarray(arr["active"]),
+            engine.cif_w, engine.cif_b,
+            dims=engine.dims, max_steps=cfg.max_steps, eot=tokenizer.eot,
+            ts_begin=tokenizer.timestamp_begin, no_speech_tok=tokenizer.no_speech,
+            space_tok=tokenizer.encode(" ")[0],
+            xkv_f8=cfg.xkv_f8, xkv_transposed=getattr(cfg, "xkv_transposed", True),
+            tail_frames=cfg.enc_tail_frames,
+        )
+        (g.k, g.v, enc_pool.pool, g.skv_k, g.skv_v,
+         g.asum, g.asq, g.alast, g.acount, g.tok) = raw[1:]
+        slot_outs = _scatter_outputs(raw[0], G, engine.cfg.max_steps)
+        return [slot_outs[sl] for sl in slot_of]
+
+    return _run_pooled_recovering(
+        call, engine, xkv, gi, enc_pool, ticks, tokenizer, pool, "inc_skv"
     )
-    (g.k, g.v, enc_pool.pool, g.skv_k, g.skv_v,
-     g.asum, g.asq, g.alast, g.acount, g.tok) = raw[1:]
-    slot_outs = _scatter_outputs(raw[0], G, engine.cfg.max_steps)
-    return [slot_outs[sl] for sl in slot_of]
 
 
 def _run_group_xkv_anchor(
@@ -1817,18 +2118,20 @@ def _run_group_xkv_anchor(
     resets) run the slot-scatter program in chunks so the dense per-chunk
     cross-KV transient stays bounded.
 
-    With MORE THAN ONE group resident the whole-group program is skipped
-    even for full-group anchors: its working set (full-window encode of G
-    lanes + prefill) needs several GB of transient HBM on top of every
-    group's pools, and on a 16 GB v5e chip that RESOURCE_EXHAUSTs once a
-    second group's ~4 GB of pools is resident (observed e2e at n=40; a
-    failed program with donated inputs also destroys the group's pools, so
-    one OOM cascades into a full serving outage). The chunked slot-scatter
-    path bounds the transient to ~2 GB per 8-lane chunk at the cost of a
-    slower (but 1/epoch_period-amortized, cohort-staggered) anchor."""
+    The whole-group program's working set (full-window encode of G lanes +
+    prefill) needs several GB of transient HBM on top of every resident
+    group's pools; on a 16 GB v5e it RESOURCE_EXHAUSTs once other groups'
+    pools eat the headroom (observed e2e r3 at n=40). The budget guard
+    (_whole_group_anchor_fits) asks XLA for the program's temp size and
+    routes to the chunked slot-scatter path (~2 GB transient per 8-lane
+    chunk) when it cannot fit; if a pooled program still dies, the donated
+    pools are rebuilt and the lanes served via the legacy program
+    (_run_pooled_recovering) instead of cascading into a serving outage."""
     g = xkv.groups[gi]
     G = g.group_width
-    if len(ticks) >= max(2, G // 2) and len(xkv.groups) == 1:
+    if len(ticks) >= max(2, G // 2) and _whole_group_anchor_fits(
+        engine, xkv, gi, G, max(engine.bucket_for(len(t.prefix_ids)) for t in ticks)
+    ):
         p_max = max(engine.bucket_for(len(t.prefix_ids)) for t in ticks)
         arr = _collect_lane_arrays(engine, ticks, tokenizer, G, p_max)
         slot_of = [t.xkv_slot for t in ticks]
@@ -1848,23 +2151,40 @@ def _run_group_xkv_anchor(
             enc_lanes[t.xkv_slot] = t.enc_lane
         audio = pool.gather(lanes)
         args, statics = _core_device_args(engine, arr, tokenizer, p_max)
-        raw = alignatt_tick_anchor_group(
-            engine.params, jnp.asarray(audio), g.k, g.v, enc_pool.pool,
-            g.skv_k, g.skv_v, g.asum, g.asq, g.alast, g.acount, g.tok,
-            jnp.asarray(enc_lanes), *args, **statics,
+
+        def call():
+            raw = alignatt_tick_anchor_group(
+                engine.params, jnp.asarray(audio), g.k, g.v, enc_pool.pool,
+                g.skv_k, g.skv_v, g.asum, g.asq, g.alast, g.acount, g.tok,
+                jnp.asarray(enc_lanes), *args, **statics,
+            )
+            (g.k, g.v, enc_pool.pool, g.skv_k, g.skv_v,
+             g.asum, g.asq, g.alast, g.acount, g.tok) = raw[1:]
+            slot_outs = _scatter_outputs(raw[0], G, engine.cfg.max_steps)
+            return [slot_outs[sl] for sl in slot_of]
+
+        return _run_pooled_recovering(
+            call, engine, xkv, gi, enc_pool, ticks, tokenizer, pool,
+            "anchor_group",
         )
-        (g.k, g.v, enc_pool.pool, g.skv_k, g.skv_v,
-         g.asum, g.asq, g.alast, g.acount, g.tok) = raw[1:]
-        slot_outs = _scatter_outputs(raw[0], G, engine.cfg.max_steps)
-        return [slot_outs[sl] for sl in slot_of]
 
     outs: List[TickOutputs] = []
     CHUNK = 8  # dense cross-KV transient ~2 GB at large-v3
     for c0 in range(0, len(ticks), CHUNK):
         chunk = ticks[c0 : c0 + CHUNK]
         n = len(chunk)
-        B = 1 << (n - 1).bit_length()
-        p_max = max(engine.bucket_for(len(t.prefix_ids)) for t in chunk)
+        # ONE compiled shape for every chunked anchor (capped engines): a
+        # short chunk pads to the full CHUNK width and every prefix pads to
+        # the cap's bucket. Joins waste a little prefill; serving never
+        # stalls on a fresh (width, bucket) compile mid-stream (the r3 e2e
+        # runs spent most of their measured window compiling straggler
+        # anchor shapes — wall 798 s for a 60 s run at n=40).
+        if engine.serving_prefix_cap:
+            B = CHUNK
+            p_max = engine.bucket_for(engine.serving_prefix_cap)
+        else:
+            B = 1 << (n - 1).bit_length()
+            p_max = max(engine.bucket_for(len(t.prefix_ids)) for t in chunk)
         arr = _collect_lane_arrays(engine, chunk, tokenizer, B, p_max)
         audio = _gather_full_audio(chunk, pool, B)
         slots = np.full(B, G, np.int32)  # padded lanes -> OOB, dropped
@@ -1873,14 +2193,24 @@ def _run_group_xkv_anchor(
             slots[i] = t.xkv_slot
             enc_lanes[i] = t.enc_lane
         args, statics = _core_device_args(engine, arr, tokenizer, p_max)
-        raw = alignatt_tick_anchor_pooled(
-            engine.params, audio, g.k, g.v, enc_pool.pool,
-            g.skv_k, g.skv_v, g.asum, g.asq, g.alast, g.acount, g.tok,
-            jnp.asarray(enc_lanes), jnp.asarray(slots), *args, **statics,
+
+        def call(audio=audio, enc_lanes=enc_lanes, slots=slots, args=args,
+                 statics=statics, n=n):
+            raw = alignatt_tick_anchor_pooled(
+                engine.params, audio, g.k, g.v, enc_pool.pool,
+                g.skv_k, g.skv_v, g.asum, g.asq, g.alast, g.acount, g.tok,
+                jnp.asarray(enc_lanes), jnp.asarray(slots), *args, **statics,
+            )
+            (g.k, g.v, enc_pool.pool, g.skv_k, g.skv_v,
+             g.asum, g.asq, g.alast, g.acount, g.tok) = raw[1:]
+            return _scatter_outputs(raw[0], n, engine.cfg.max_steps)
+
+        outs.extend(
+            _run_pooled_recovering(
+                call, engine, xkv, gi, enc_pool, chunk, tokenizer, pool,
+                "anchor_pooled",
+            )
         )
-        (g.k, g.v, enc_pool.pool, g.skv_k, g.skv_v,
-         g.asum, g.asq, g.alast, g.acount, g.tok) = raw[1:]
-        outs.extend(_scatter_outputs(raw[0], n, engine.cfg.max_steps))
     return outs
 
 # Shared engine + per-session state (host)
@@ -1892,9 +2222,11 @@ class AlignAttEngine:
 
     # 32 serves the common early-session prefixes (sot sequence + a few
     # committed tokens): prefill cost scales with the bucket width, so short
-    # prefixes decode ~2x cheaper than under a 64-wide floor. Widths stay
-    # multiples of 8 (the flash-prefill sublane constraint).
-    PREFIX_BUCKETS = (32, 64, 128, 256, 384)
+    # prefixes decode ~2x cheaper than under a 64-wide floor. 96 matches the
+    # pooled-serving prefix cap (serving_prefix_cap) so capped anchors
+    # prefill at exactly the cap. Widths stay multiples of 8 (the
+    # flash-prefill sublane constraint).
+    PREFIX_BUCKETS = (32, 64, 96, 128, 256, 384)
 
     def __init__(
         self,
@@ -1939,6 +2271,13 @@ class AlignAttEngine:
         self.prefix_buckets = tuple(
             b for b in self.PREFIX_BUCKETS if b < min(dims.n_text_ctx, top + 1)
         ) or (dims.n_text_ctx // 2,)
+        # pooled-serving prefix cap (see AlignAttConfig.serving_prefix_cap):
+        # bounds the self-KV pool width so the per-step pool copy stays
+        # small. Applies only to sessions wired to an XKVAllocator.
+        cap = int(getattr(cfg, "serving_prefix_cap", 0) or 0)
+        if cap == 0 and bool(cfg.xkv_cache):
+            cap = 96
+        self.serving_prefix_cap = min(cap, dims.n_text_ctx - 20) if cap else 0
 
     @staticmethod
     def _load_cif(cfg: AlignAttConfig, dims: ModelDimensions):
@@ -2004,11 +2343,13 @@ class AlignAttSession:
         self.enc_lane: Optional[int] = None
         self._enc_synced_frames = 0
         self._enc_key: Optional[Tuple[int, int]] = None  # (audio_gen, evicted)
+        self._enc_pool_gen = 0
         # group-resident cross-KV cache (set by the scheduler when enabled)
         self.xkv_alloc: Optional[XKVAllocator] = None
         self.xkv_gi: Optional[int] = None
         self.xkv_slot: Optional[int] = None
         self._xkv_epoch_seen = 0
+        self._xkv_group_gen = 0
         self._reset_segment_state()
         max_ctx = self.cfg.max_context_tokens
         if max_ctx is None:
@@ -2020,6 +2361,7 @@ class AlignAttSession:
             dims_ = engine.dims
             large = dims_.n_audio_state >= 1280 and dims_.n_text_layer >= 16
             max_ctx = 64 if large else dims_.n_text_ctx // 2
+        self._max_ctx_auto = self.cfg.max_context_tokens is None
         self.max_context_tokens = max_ctx
         self.max_text_len = engine.dims.n_text_ctx
 
@@ -2092,11 +2434,25 @@ class AlignAttSession:
         c = len(ctx_ids) - len(self.context.prefix_token_ids)
         committed = sum(len(t) for t in self.committed_tokens)
         l = len(self.initial_tokens) + committed + c
+        # pooled serving bounds the WHOLE prefix (context + sot + in-window
+        # committed) at the serving cap so the self-KV pool width stays
+        # small (see serving_prefix_cap). Context is trimmed first: it is
+        # scrolled committed history, so the effective text history is
+        # still the last ~cap tokens — the split between "context" and
+        # "committed" just shifts within the window as tokens commit.
+        cap = self.engine.serving_prefix_cap if self.xkv_alloc is not None else 0
+        total = l + len(self.context.prefix_token_ids)
+        max_ctx = self.max_context_tokens
+        if cap and self._max_ctx_auto:
+            # let context fill the cap early in the epoch (the cap trim
+            # below is the real bound); a fixed 64 would waste cap room
+            max_ctx = max(max_ctx, cap)
         after = len(self.cfg.static_init_prompt or "")
-        while c > self.max_context_tokens or l > self.max_text_len - 20:
+        while c > max_ctx or l > self.max_text_len - 20 or (cap and total > cap):
             t = self.context.trim_words(after=after)
             l -= t
             c -= t
+            total -= t
             if t == 0:
                 break
 
@@ -2134,10 +2490,17 @@ class AlignAttSession:
 
         self.trim_context()
         prefix_ids, sot_index = self._prefix_ids()
+        # pooled serving: hard cap even when context trimming could not get
+        # under it (in-window committed + sot alone exceed the cap) — the
+        # self-KV pool rows only exist up to the cap
+        cap = eng.serving_prefix_cap if self.xkv_alloc is not None else 0
         p_need = eng.bucket_for(len(prefix_ids))
-        if len(prefix_ids) > p_need:
-            prefix_ids = prefix_ids[-p_need:]
-            sot_index = min(sot_index, p_need - 1)
+        if cap:
+            p_need = min(p_need, eng.bucket_for(cap))
+        if len(prefix_ids) > min(p_need, cap or p_need):
+            keep = min(p_need, cap or p_need)
+            prefix_ids = prefix_ids[-keep:]
+            sot_index = min(sot_index, keep - 1)
 
         ti = TickInputs(
             audio=audio,
@@ -2199,6 +2562,18 @@ class AlignAttSession:
             return  # tail slicing needs the device-resident audio window
         if self.cfg.decoder_type == "beam" and self.cfg.beam_size > 1:
             return
+        # failure-recovery resync: a destroyed-and-rebuilt pool
+        # (_recover_group generation bump) invalidates this session's device
+        # mirrors — drop them so this tick re-anchors from host state
+        if self.enc_pool is not None and self._enc_pool_gen != self.enc_pool.generation:
+            self._enc_pool_gen = self.enc_pool.generation
+            self._enc_key = None
+            self._enc_synced_frames = 0
+        if self.xkv_alloc is not None and self.xkv_slot is not None:
+            gen = self.xkv_alloc.groups[self.xkv_gi].generation
+            if self._xkv_group_gen != gen:
+                self._xkv_group_gen = gen
+                self.skv_tokens = None
         use_xkv = (
             self.xkv_alloc is not None
             and self.enc_pool is not None  # pooled ticks project from cached rows
@@ -2209,6 +2584,7 @@ class AlignAttSession:
             if got is not None:
                 self.xkv_gi, self.xkv_slot = got
                 self._xkv_epoch_seen = self.xkv_alloc.groups[self.xkv_gi].sub_epoch
+                self._xkv_group_gen = self.xkv_alloc.groups[self.xkv_gi].generation
         if self.enc_pool is not None:
             if self.enc_lane is None:
                 self.enc_lane = self.enc_pool.acquire()
