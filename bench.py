@@ -65,7 +65,7 @@ SWEEP = [
     ("large-v3-turbo", (64,), 256, ("bf16",), False),
     # "f8d" = f8 pool + weight-only f8 decoder linears (config decoder_dtype
     # = f8; docs/perf/decoder_f8_v5e.json: 7.6 vs 14.2 ms/step at B=24)
-    ("large-v3", (24, 32, 40), 160, ("bf16", "f8", "f8d"), True),
+    ("large-v3", (24, 32, 40, 48), 160, ("bf16", "f8", "f8d"), True),
 ]
 
 
@@ -128,6 +128,37 @@ def time_call(fn, iters=4) -> float:
     return (time.perf_counter() - t0) / iters
 
 
+#: headroom the tick/anchor programs need for their XLA temp buffers on top
+#: of the resident pools (measured: B=32 bf16 resident ~11.6 GB ran, B=40
+#: bf16 ~13.8 GB RESOURCE_EXHAUSTed on a 15.75 GB v5e)
+_TEMP_MARGIN = 3 << 30
+
+
+def _hbm_limit() -> int:
+    try:
+        return int(jax.local_devices()[0].memory_stats()["bytes_limit"])
+    except Exception:
+        return int(15.75 * (1 << 30))
+
+
+def _arm_resident_bytes(dims, B: int, pool_dt, Wc: int, K_al: int) -> int:
+    """Resident HBM of one pooled arm: params + cross-KV/self-KV pools +
+    encoder rows + align stats + audio windows."""
+    Tp = -(-dims.n_audio_ctx // 128) * 128
+    d = dims.n_audio_state
+    p_bytes = (
+        2 * (dims.n_audio_layer + dims.n_text_layer) * 12 * d * d  # qkvo+mlp
+        + 2 * dims.n_vocab * d
+    )
+    kv = 2 * dims.n_text_layer * B * dims.n_text_head * dims.head_dim * Tp
+    kv *= jnp.dtype(pool_dt).itemsize
+    skv = 2 * dims.n_text_layer * B * Wc * dims.n_text_head * dims.head_dim * 2
+    enc = (B + 1) * dims.n_audio_ctx * d * 2
+    stats = 3 * B * K_al * dims.n_audio_ctx * 4
+    audio = B * 16000 * 30 * 2
+    return p_bytes + kv + skv + enc + stats + audio
+
+
 def bench_model(name: str, widths, results: dict, tail_frames=384, dtypes=("bf16",)) -> float:
     from whisperlivekit_tpu.models.whisper import model as wm
     from whisperlivekit_tpu.models.whisper.dims import MODEL_DIMS
@@ -151,6 +182,25 @@ def bench_model(name: str, widths, results: dict, tail_frames=384, dtypes=("bf16
             params = q_params
         else:
             params = base_params
+        if dt_name != "enc":
+            # budget precheck: an arm whose resident pools + program temp
+            # cannot fit is SKIPPED (the serving allocator would never build
+            # this configuration), not run to a destructive OOM that poisons
+            # the process allocator for later arms
+            est = _arm_resident_bytes(
+                dims, B, dt, SERVING_PREFIX_CAP + DECODE_STEPS + 2,
+                int(align_layers.shape[0]),
+            )
+            if est + _TEMP_MARGIN > _hbm_limit():
+                results[f"{name}_B{B}_{dt_name}"] = (
+                    f"SKIPPED resident {est / (1 << 30):.1f}G + temp > HBM"
+                )
+                print(
+                    f"{name} B={B} {dt_name}: skipped (resident "
+                    f"{est / (1 << 30):.1f}G + temp exceeds HBM budget)",
+                    file=sys.stderr, flush=True,
+                )
+                continue
         try:
             audio_pool = jnp.asarray(
                 (rng.integers(-3000, 3000, (B, 16000 * 30))).astype(np.int16)

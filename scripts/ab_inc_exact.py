@@ -51,7 +51,7 @@ SR = 16000
 
 
 def build_engine(model: str, frame_threshold: int, xkv_dtype: str,
-                 decoder_dtype: str = "bf16"):
+                 decoder_dtype: str = "bf16", weights: str = None):
     import jax
     import jax.numpy as jnp
 
@@ -65,7 +65,19 @@ def build_engine(model: str, frame_threshold: int, xkv_dtype: str,
     from whisperlivekit_tpu.streaming.alignatt import AlignAttConfig, AlignAttEngine
 
     dims = MODEL_DIMS[model]
-    params = wm.init_params(dims, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+    if weights:
+        # structured checkpoint from scripts/train_structured_weights.py:
+        # attention is sharp (trained), so published alignment-head indices
+        # (which name OpenAI-checkpoint heads) do not apply — use the
+        # upper-half-layers fallback, which averages all heads.
+        from train_structured_weights import load_params
+
+        params, dims_name = load_params(weights)
+        assert dims_name == model, (dims_name, model)
+        model_name = None
+    else:
+        params = wm.init_params(dims, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+        model_name = model
     if decoder_dtype == "f8":
         params = wm.quantize_decoder_f8(params)
     tok = get_tokenizer(True, language="en", task="transcribe")
@@ -78,7 +90,7 @@ def build_engine(model: str, frame_threshold: int, xkv_dtype: str,
     # large-v3). Omitting it falls back to "upper half of layers, all heads"
     # — 320 pairs at large-v3 — which inflates the align-stat recompute ~30x
     # and OOMs the pooled tick program (16.7G > 15.75G HBM, observed).
-    return AlignAttEngine(params, dims, tok, cfg, model_name=model)
+    return AlignAttEngine(params, dims, tok, cfg, model_name=model_name)
 
 
 def make_inc_session(engine, group_width: int = 1):
@@ -125,13 +137,19 @@ def enc_err_fn():
     return err
 
 
+def _tok_agreement(a, b):
+    sm = difflib.SequenceMatcher(a=a, b=b, autojunk=False)
+    matched = sum(bl.size for bl in sm.get_matching_blocks())
+    return matched / max(len(a), len(b), 1)
+
+
 def run_model(model: str, minutes: float, frame_threshold: int, xkv_dtype: str,
-              enc_every: int) -> dict:
+              enc_every: int, weights: str = None, audio_kind: str = "speech") -> dict:
     import jax.numpy as jnp
 
     from whisperlivekit_tpu.streaming.alignatt import AlignAttSession, run_tick_batch
 
-    engine = build_engine(model, frame_threshold, xkv_dtype)
+    engine = build_engine(model, frame_threshold, xkv_dtype, weights=weights)
     tok = engine.tokenizer
     s_inc = make_inc_session(engine)          # production incremental mode
     s_exact = AlignAttSession(engine)         # legacy full-window (exact)
@@ -144,9 +162,15 @@ def run_model(model: str, minutes: float, frame_threshold: int, xkv_dtype: str,
     keep_inc = keep_exact = 0
     enc_samples = []   # (tick, max_err, mean_err, ref_rms)
     mode_counts = {"inc": 0, "anchor": 0}
+    if audio_kind == "events":
+        from train_structured_weights import events_audio
+
+        gen = lambda sec, t: events_audio(sec, seed=7, t0=t)
+    else:
+        gen = lambda sec, t: speech_like(sec, seed=7, t0=t)
     t0 = time.perf_counter()
     for i in range(n_ticks):
-        audio = speech_like(1.0, seed=7, t0=float(i))
+        audio = gen(1.0, float(i))
         rows = {}
         for name, s in (("inc", s_inc), ("exact", s_exact), ("anchor", s_anchor)):
             s.insert_audio(audio.copy())
@@ -193,6 +217,21 @@ def run_model(model: str, minutes: float, frame_threshold: int, xkv_dtype: str,
     sm = difflib.SequenceMatcher(a=toks_inc, b=toks_exact, autojunk=False)
     matched = sum(bl.size for bl in sm.get_matching_blocks())
     denom = max(len(toks_inc), len(toks_exact), 1)
+    truth = None
+    if audio_kind == "events":
+        # ground-truth word stream of the synthetic language: with trained
+        # weights this is a WER-style per-mode accuracy, not just mode-vs-mode
+        from train_structured_weights import events_words, word_vocab
+
+        words, _ = word_vocab(tok)
+        ref_toks = []
+        for w in events_words(7, 0.0, float(n_ticks), words):
+            ref_toks.extend(tok.encode(" " + w))
+        truth = {
+            "n_truth_tokens": len(ref_toks),
+            "inc_vs_truth_agreement": round(_tok_agreement(toks_inc, ref_toks), 4),
+            "exact_vs_truth_agreement": round(_tok_agreement(toks_exact, ref_toks), 4),
+        }
     max_errs = [m for (_, m, _, _) in enc_samples]
     mean_errs = [m for (_, _, m, _) in enc_samples]
     rms = [r for (_, _, _, r) in enc_samples]
@@ -200,8 +239,11 @@ def run_model(model: str, minutes: float, frame_threshold: int, xkv_dtype: str,
         "model": model,
         "minutes": minutes,
         "frame_threshold": frame_threshold,
+        "weights": weights,
+        "audio": audio_kind,
         "xkv_dtype": xkv_dtype if s_inc.xkv_alloc is not None else None,
         "n_ticks_compared": len(attend_inc),
+        "vs_truth": truth,
         "inc_tick_mix": mode_counts,
         "encoder_divergence": {
             "n_samples": len(enc_samples),
@@ -293,6 +335,15 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--models", nargs="+", default=["base", "large-v3"])
     ap.add_argument("--minutes", type=float, default=5.0)
+    ap.add_argument("--frame-thresholds", type=int, nargs="+", default=None,
+                    help="sweep: one full inc-vs-exact run per threshold")
+    ap.add_argument("--weights", default=None,
+                    help="structured checkpoint (.npz) from "
+                    "train_structured_weights.py; audio defaults to the "
+                    "paired event stream")
+    ap.add_argument("--audio", default=None, choices=["speech", "events"],
+                    help="audio source (default: events when --weights is "
+                    "given, speech otherwise)")
     ap.add_argument("--frame-threshold", type=int, default=1,
                     help="permissive gate so tokens flow under random "
                     "weights (gate-frame stats are threshold-independent)")
@@ -307,19 +358,23 @@ def main():
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
+    audio_kind = args.audio or ("events" if args.weights else "speech")
+    thresholds = args.frame_thresholds or [args.frame_threshold]
     results = []
     for m in args.models:
-        if args.decoder_ab:
-            print(f"[ab] {m}: decoder bf16 vs f8, {args.minutes} min ...",
-                  flush=True)
-            r = run_decoder_ab(m, args.minutes, args.frame_threshold,
-                               args.xkv_dtype)
-        else:
-            print(f"[ab] {m}: {args.minutes} min, xkv={args.xkv_dtype} ...", flush=True)
-            r = run_model(m, args.minutes, args.frame_threshold, args.xkv_dtype,
-                          args.enc_every)
-        results.append(r)
-        print(json.dumps(r), flush=True)
+        for ft in thresholds:
+            if args.decoder_ab:
+                print(f"[ab] {m}: decoder bf16 vs f8, {args.minutes} min ...",
+                      flush=True)
+                r = run_decoder_ab(m, args.minutes, ft, args.xkv_dtype)
+            else:
+                print(f"[ab] {m}: {args.minutes} min, ft={ft} "
+                      f"xkv={args.xkv_dtype} audio={audio_kind} ...", flush=True)
+                r = run_model(m, args.minutes, ft, args.xkv_dtype,
+                              args.enc_every, weights=args.weights,
+                              audio_kind=audio_kind)
+            results.append(r)
+            print(json.dumps(r), flush=True)
     out = {"runs": results}
     if args.out:
         Path(args.out).write_text(json.dumps(out, indent=2) + "\n")

@@ -169,6 +169,39 @@ def test_deadline_orders_admission(engine):
     assert stats["word_emission_p95_ms"] is not None
 
 
+def test_group_coherent_batching(engine):
+    """A dispatch window never mixes lanes of two xkv groups: the pooled inc
+    program runs at the group's FULL width, so a mixed 24-lane window costs
+    one full-width program PER group (~2x device time for the same audio
+    progress — the dominant term of the r3 e2e gap). The earliest-deadline
+    lane's group is served; other groups' lanes are carried in EDF order."""
+    import types
+
+    from whisperlivekit_tpu.engine.scheduler import BatchScheduler, _Pending
+
+    async def main():
+        sched = BatchScheduler(engine, max_lanes=8, window_s=0.01, inline=False)
+        sched._queue = asyncio.Queue()
+        for i, gi in enumerate([1, 0, 1, 0, 1, None]):
+            sched._queue.put_nowait(_Pending(
+                None, types.SimpleNamespace(xkv_gi=gi), None,
+                deadline=float(i), enqueued=0.0,
+            ))
+        first = await sched._gather_group()
+        carry_after_first = list(sched._carry)
+        second = await sched._gather_group()
+        return first, carry_after_first, second, list(sched._carry)
+
+    first, carry1, second, carry2 = asyncio.run(main())
+    # earliest deadline (0.0) is a group-1 lane -> the window serves ONLY
+    # group 1; group 0 and the ungrouped lane are carried
+    assert [p.ti.xkv_gi for p in first] == [1, 1, 1]
+    assert sorted(p.deadline for p in carry1) == [1.0, 3.0, 5.0]
+    # next window starts from the carry: group 0 (deadline 1.0) alone
+    assert [p.ti.xkv_gi for p in second] == [0, 0]
+    assert [p.ti.xkv_gi for p in carry2] == [None]
+
+
 def test_lane_cap_scales_with_model(engine):
     from whisperlivekit_tpu.engine.scheduler import _auto_lane_cap
     from whisperlivekit_tpu.models.whisper.dims import MODEL_DIMS

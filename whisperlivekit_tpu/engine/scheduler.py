@@ -40,6 +40,8 @@ from ..streaming.alignatt import (
     EncPool,
     TickInputs,
     XKVAllocator,
+    dispatch_tick_batch,
+    finalize_tick_batch,
     run_tick_batch,
 )
 from ..timed import ASRToken
@@ -121,6 +123,7 @@ class BatchScheduler:
         self._wait_q = _Quantiles()
         self._emit_q = _Quantiles()
         self._tick_q = _Quantiles()
+        self._tick_ewma = 0.0  # device-tick wall estimate for the yield sleep
         TICK_PHASE_STATS.clear()
         # jax profiler: trace the first N ticks into profile_dir (view with
         # tensorboard / xprof) — the serving-path observability hook.
@@ -281,9 +284,24 @@ class BatchScheduler:
             except asyncio.QueueEmpty:
                 break
 
-        if len(batch) > self.max_lanes:
+        # group-coherent dispatch: the pooled inc program always runs at the
+        # group's FULL width in slot order (alignatt_tick_inc_skv — the
+        # decode reads the pool arrays directly), so a window that mixes
+        # lanes of two xkv groups runs one full-width program PER group —
+        # 24 lanes split 12+12 cost ~2x the device time of 24 coherent
+        # lanes (the r3 e2e inc-tick mean was 3.2x the tick model's; this
+        # was the dominant term). Serve the earliest-deadline lane's group
+        # now; carry other groups' lanes (their deadlines keep EDF order).
+        if len(batch) > 1:
             batch.sort(key=lambda p: p.deadline)
-            self._carry = batch[self.max_lanes :]
+            key0 = batch[0].ti.xkv_gi
+            same = [p for p in batch if p.ti.xkv_gi == key0]
+            rest = [p for p in batch if p.ti.xkv_gi != key0]
+            if rest and len(same) <= self.max_lanes:
+                self._carry = rest + self._carry
+                batch = same
+        if len(batch) > self.max_lanes:
+            self._carry = batch[self.max_lanes :] + self._carry
             batch = batch[: self.max_lanes]
             self.n_rotations += 1
         return batch
@@ -300,10 +318,22 @@ class BatchScheduler:
             self._maybe_profile()
             try:
                 if self.inline:
-                    outs = run_tick_batch(
+                    # axon: device calls must run ON the loop thread — but
+                    # dispatch is async, so enqueue the window's programs,
+                    # then yield the loop for ~the expected device time
+                    # before the blocking output fetch. Without this every
+                    # tick froze audio feeding/tick prep for its full
+                    # duration (~60% of wall at 40 sessions).
+                    pends = dispatch_tick_batch(
                         self.engine, tis, self.engine.tokenizer,
-                        pool=self.pool, enc_pool=self.enc_pool, xkv=self.xkv,
+                        self.pool, self.enc_pool, self.xkv,
                     )
+                    if self._tick_ewma:
+                        # undersleep is free (the fetch blocks for the
+                        # remainder); oversleep self-corrects (measured
+                        # wall = the sleep < the EWMA, so it decays)
+                        await asyncio.sleep(min(0.6 * self._tick_ewma, 1.0))
+                    outs = finalize_tick_batch(pends, len(tis))
                 else:
                     outs = await asyncio.to_thread(
                         run_tick_batch, self.engine, tis, self.engine.tokenizer,
@@ -313,6 +343,10 @@ class BatchScheduler:
                 self.n_lanes_served += len(batch)
                 t_done = loop.time()
                 self._tick_q.add(t_done - t_start)
+                self._tick_ewma = (
+                    0.7 * self._tick_ewma + 0.3 * (t_done - t_start)
+                    if self._tick_ewma else (t_done - t_start)
+                )
                 for p, out in zip(batch, outs):
                     self._emit_q.add(t_done - p.enqueued)
                     if not p.fut.done():

@@ -1650,23 +1650,44 @@ def run_tick_batch(
     refresh their cached rows), "inc" lanes run the tail-encode program,
     plan-less lanes run the legacy program. Outputs return in input order.
     """
+    return finalize_tick_batch(
+        dispatch_tick_batch(engine, ticks, tokenizer, pool, enc_pool, xkv),
+        len(ticks),
+    )
+
+
+def _timed_pool_update(pool: AudioPool, ticks: List[TickInputs]) -> None:
     # Audio-pool rows must stay in sync with the sessions' _pool_synced
     # bookkeeping (committed in prepare_tick), so apply updates for every
     # pool-backed lane before anything gathers.
-    if pool is not None:
-        t_p = time.perf_counter()
-        pool.update(
-            [
-                (t.pool_lane, *t.pool_update)
-                for t in ticks
-                if t.pool_lane is not None and t.pool_update is not None
-            ]
-        )
-        n_t, tot = TICK_PHASE_STATS.get("pool_update", (0, 0.0))
-        TICK_PHASE_STATS["pool_update"] = (
-            n_t + 1, tot + (time.perf_counter() - t_p)
-        )
+    t_p = time.perf_counter()
+    pool.update(
+        [
+            (t.pool_lane, *t.pool_update)
+            for t in ticks
+            if t.pool_lane is not None and t.pool_update is not None
+        ]
+    )
+    n_t, tot = TICK_PHASE_STATS.get("pool_update", (0, 0.0))
+    TICK_PHASE_STATS["pool_update"] = (
+        n_t + 1, tot + (time.perf_counter() - t_p)
+    )
 
+
+def dispatch_tick_batch(engine, ticks, tokenizer, pool, enc_pool, xkv) -> list:
+    """Dispatch every group program WITHOUT fetching outputs.
+
+    Device dispatch is asynchronous: each group call enqueues its program
+    and updates the (device-array) pool references immediately; the blocking
+    host<->device round-trip happens only in the returned fetch closures.
+    Splitting lets the serving loop (a) enqueue all of a window's programs
+    back-to-back so XLA pipelines them, and (b) yield the asyncio event loop
+    while the device computes — on axon, inference must run ON the loop
+    thread (session/processor._inline_inference_default), so without the
+    split every device tick froze audio feeding for its full duration.
+    Returns [(phase_key, lane_idxs, fetch, t_dispatch_start), ...]."""
+    if pool is not None:
+        _timed_pool_update(pool, ticks)
     groups: dict = {}
     for i, t in enumerate(ticks):
         if t.xkv_slot is not None and xkv is not None:
@@ -1676,29 +1697,40 @@ def run_tick_batch(
         else:
             key = None  # plan-less or mis-routed lane: legacy full re-encode
         groups.setdefault(key, []).append(i)
-
-    outs: List[Optional[TickOutputs]] = [None] * len(ticks)
+    pends = []
     for mode, idxs in groups.items():
         t_g = time.perf_counter()
         group = [ticks[i] for i in idxs]
         if isinstance(mode, tuple):
             _, gi, enc_mode = mode
             if enc_mode == "inc":
-                res = _run_group_xkv_inc(
+                fetch = _dispatch_group_xkv_inc(
                     engine, group, tokenizer, pool, enc_pool, xkv, gi
                 )
                 xkv.note_group_tick(gi)
             else:
-                res = _run_group_xkv_anchor(
+                fetch = _dispatch_group_xkv_anchor(
                     engine, group, tokenizer, pool, enc_pool, xkv, gi
                 )
         elif mode == "inc":
-            res = _run_group_inc(engine, group, tokenizer, pool, enc_pool)
+            fetch = _dispatch_group_inc(engine, group, tokenizer, pool, enc_pool)
         elif mode == "anchor":
-            res = _run_group_anchor(engine, group, tokenizer, pool, enc_pool)
+            fetch = _dispatch_group_anchor(engine, group, tokenizer, pool, enc_pool)
         else:
-            res = _run_group_legacy(engine, group, tokenizer, pool)
+            fetch = _dispatch_group_legacy(engine, group, tokenizer, pool)
         mk = mode[2] + "_xkv" if isinstance(mode, tuple) else (mode or "legacy")
+        pends.append((mk, idxs, fetch, t_g))
+    return pends
+
+
+def finalize_tick_batch(pends: list, n: int) -> List[TickOutputs]:
+    """Fetch every dispatched group's outputs (input order restored).
+    Phase wall time spans dispatch start -> fetch done per group; groups
+    dispatched together overlap, so the per-phase means attribute the
+    window's wall time, not exclusive device time."""
+    outs: List[Optional[TickOutputs]] = [None] * n
+    for mk, idxs, fetch, t_g in pends:
+        res = fetch()
         n_t, tot = TICK_PHASE_STATS.get(mk, (0, 0.0))
         TICK_PHASE_STATS[mk] = (n_t + 1, tot + (time.perf_counter() - t_g))
         for i, o in zip(idxs, res):
@@ -1711,7 +1743,7 @@ def run_tick_batch(
 TICK_PHASE_STATS: dict = {}
 
 
-def _run_group_legacy(engine, ticks, tokenizer, pool) -> List[TickOutputs]:
+def _dispatch_group_legacy(engine, ticks, tokenizer, pool):
     n = len(ticks)
     B = 1 << (n - 1).bit_length()
     p_max = max(engine.bucket_for(len(t.prefix_ids)) for t in ticks)
@@ -1719,10 +1751,14 @@ def _run_group_legacy(engine, ticks, tokenizer, pool) -> List[TickOutputs]:
     audio = _gather_full_audio(ticks, pool, B)
     args, statics = _core_device_args(engine, arr, tokenizer, p_max)
     raw = alignatt_tick(engine.params, audio, *args, **statics)
-    return _scatter_outputs(raw, n, engine.cfg.max_steps)
+    return lambda: _scatter_outputs(raw, n, engine.cfg.max_steps)
 
 
-def _run_group_anchor(engine, ticks, tokenizer, pool, enc_pool) -> List[TickOutputs]:
+def _run_group_legacy(engine, ticks, tokenizer, pool) -> List[TickOutputs]:
+    return _dispatch_group_legacy(engine, ticks, tokenizer, pool)()
+
+
+def _dispatch_group_anchor(engine, ticks, tokenizer, pool, enc_pool):
     n = len(ticks)
     B = 1 << (n - 1).bit_length()
     p_max = max(engine.bucket_for(len(t.prefix_ids)) for t in ticks)
@@ -1736,10 +1772,10 @@ def _run_group_anchor(engine, ticks, tokenizer, pool, enc_pool) -> List[TickOutp
         jnp.asarray(np.asarray(enc_lanes, np.int32)), *args, **statics,
     )
     enc_pool.pool = raw[-1]
-    return _scatter_outputs(raw[0], n, engine.cfg.max_steps)
+    return lambda: _scatter_outputs(raw[0], n, engine.cfg.max_steps)
 
 
-def _run_group_inc(engine, ticks, tokenizer, pool, enc_pool) -> List[TickOutputs]:
+def _dispatch_group_inc(engine, ticks, tokenizer, pool, enc_pool):
     n = len(ticks)
     B = 1 << (n - 1).bit_length()
     p_max = max(engine.bucket_for(len(t.prefix_ids)) for t in ticks)
@@ -1764,7 +1800,7 @@ def _run_group_inc(engine, ticks, tokenizer, pool, enc_pool) -> List[TickOutputs
         *args, **statics, tail_frames=engine.cfg.enc_tail_frames,
     )
     enc_pool.pool = raw[-1]
-    return _scatter_outputs(raw[0], n, engine.cfg.max_steps)
+    return lambda: _scatter_outputs(raw[0], n, engine.cfg.max_steps)
 
 
 # ---------------------------------------------------------------------------
@@ -2005,15 +2041,17 @@ def _recover_group(engine, xkv: "XKVAllocator", gi: int, enc_pool: Optional[EncP
     TICK_PHASE_STATS["pool_recovery"] = (n_t + 1, tot)
 
 
-def _run_pooled_recovering(call, engine, xkv, gi, enc_pool, ticks, tokenizer, pool, what: str):
-    """Run a pooled group program; on failure, contain it: recover the
-    group's pools and serve the in-flight ticks via the legacy full-window
-    program (correct from host state alone). The whole-group anchor
-    additionally memoizes the failure so it is never retried on this group
-    (the chunked path takes over permanently)."""
-    try:
-        return call()
-    except (jax.errors.JaxRuntimeError, RuntimeError):
+def _dispatch_pooled_recovering(dispatch, engine, xkv, gi, enc_pool, ticks,
+                                tokenizer, pool, what: str):
+    """Dispatch a pooled group program; on failure AT EITHER PHASE (the
+    dispatch, or the deferred fetch where async runtime errors surface),
+    contain it: recover the group's pools and serve the in-flight ticks via
+    the legacy full-window program (correct from host state alone). The
+    whole-group anchor additionally memoizes the failure so it is never
+    retried on this group (the chunked path takes over permanently).
+    Returns a fetch closure either way."""
+
+    def recover():
         logger.exception(
             "pooled %s program failed for group %d — recovering pools, "
             "serving %d lanes via the legacy program", what, gi, len(ticks)
@@ -2023,10 +2061,22 @@ def _run_pooled_recovering(call, engine, xkv, gi, enc_pool, ticks, tokenizer, po
         _recover_group(engine, xkv, gi, enc_pool)
         return _run_group_legacy(engine, ticks, tokenizer, pool)
 
+    try:
+        fetch = dispatch()
+    except (jax.errors.JaxRuntimeError, RuntimeError):
+        outs = recover()
+        return lambda: outs
 
-def _run_group_xkv_inc(
-    engine, ticks, tokenizer, pool, enc_pool, xkv, gi
-) -> List[TickOutputs]:
+    def safe_fetch():
+        try:
+            return fetch()
+        except (jax.errors.JaxRuntimeError, RuntimeError):
+            return recover()
+
+    return safe_fetch
+
+
+def _dispatch_group_xkv_inc(engine, ticks, tokenizer, pool, enc_pool, xkv, gi):
     """Incremental ticks over the group-resident cross-KV AND self-KV pools
     (alignatt_tick_inc_skv — no per-tick prefill, no prefix upload, and no
     prefix-bucket program dimension).
@@ -2099,17 +2149,19 @@ def _run_group_xkv_inc(
         )
         (g.k, g.v, enc_pool.pool, g.skv_k, g.skv_v,
          g.asum, g.asq, g.alast, g.acount, g.tok) = raw[1:]
-        slot_outs = _scatter_outputs(raw[0], G, engine.cfg.max_steps)
-        return [slot_outs[sl] for sl in slot_of]
 
-    return _run_pooled_recovering(
+        def fetch():
+            slot_outs = _scatter_outputs(raw[0], G, engine.cfg.max_steps)
+            return [slot_outs[sl] for sl in slot_of]
+
+        return fetch
+
+    return _dispatch_pooled_recovering(
         call, engine, xkv, gi, enc_pool, ticks, tokenizer, pool, "inc_skv"
     )
 
 
-def _run_group_xkv_anchor(
-    engine, ticks, tokenizer, pool, enc_pool, xkv, gi
-) -> List[TickOutputs]:
+def _dispatch_group_xkv_anchor(engine, ticks, tokenizer, pool, enc_pool, xkv, gi):
     """Anchor ticks writing into a group's cross-KV pool rows.
 
     A majority of the group anchoring together (the epoch-synchronized
@@ -2126,7 +2178,7 @@ def _run_group_xkv_anchor(
     routes to the chunked slot-scatter path (~2 GB transient per 8-lane
     chunk) when it cannot fit; if a pooled program still dies, the donated
     pools are rebuilt and the lanes served via the legacy program
-    (_run_pooled_recovering) instead of cascading into a serving outage."""
+    (_dispatch_pooled_recovering) instead of cascading into a serving outage."""
     g = xkv.groups[gi]
     G = g.group_width
     if len(ticks) >= max(2, G // 2) and _whole_group_anchor_fits(
@@ -2160,15 +2212,19 @@ def _run_group_xkv_anchor(
             )
             (g.k, g.v, enc_pool.pool, g.skv_k, g.skv_v,
              g.asum, g.asq, g.alast, g.acount, g.tok) = raw[1:]
-            slot_outs = _scatter_outputs(raw[0], G, engine.cfg.max_steps)
-            return [slot_outs[sl] for sl in slot_of]
 
-        return _run_pooled_recovering(
+            def fetch():
+                slot_outs = _scatter_outputs(raw[0], G, engine.cfg.max_steps)
+                return [slot_outs[sl] for sl in slot_of]
+
+            return fetch
+
+        return _dispatch_pooled_recovering(
             call, engine, xkv, gi, enc_pool, ticks, tokenizer, pool,
             "anchor_group",
         )
 
-    outs: List[TickOutputs] = []
+    fetches: List = []
     CHUNK = 8  # dense cross-KV transient ~2 GB at large-v3
     for c0 in range(0, len(ticks), CHUNK):
         chunk = ticks[c0 : c0 + CHUNK]
@@ -2203,15 +2259,17 @@ def _run_group_xkv_anchor(
             )
             (g.k, g.v, enc_pool.pool, g.skv_k, g.skv_v,
              g.asum, g.asq, g.alast, g.acount, g.tok) = raw[1:]
-            return _scatter_outputs(raw[0], n, engine.cfg.max_steps)
+            return lambda: _scatter_outputs(raw[0], n, engine.cfg.max_steps)
 
-        outs.extend(
-            _run_pooled_recovering(
+        # chunks chain through the donated pool refs, so later dispatches
+        # enqueue immediately behind earlier ones; all fetches defer
+        fetches.append(
+            _dispatch_pooled_recovering(
                 call, engine, xkv, gi, enc_pool, chunk, tokenizer, pool,
                 "anchor_pooled",
             )
         )
-    return outs
+    return lambda: [o for f in fetches for o in f()]
 
 # Shared engine + per-session state (host)
 # ---------------------------------------------------------------------------
