@@ -353,6 +353,16 @@ def bench_model(name: str, widths, results: dict, tail_frames=384, dtypes=("bf16
 
 
 def main() -> None:
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=None,
+                    help="also write the full sweep as a JSON artifact "
+                    "(consumed by scripts/gen_capacity_table.py — the ONE "
+                    "source the capacity docs are generated from)")
+    ap.add_argument("--round", default=None, help="stamp for --out")
+    args = ap.parse_args()
+
     sys.path.insert(0, ".")
     from whisperlivekit_tpu.compile_cache import enable_compile_cache
 
@@ -366,16 +376,25 @@ def main() -> None:
 
     baseline_streams = 1.0 / 0.144  # reference fw SS large-v3-turbo aware RTF, H100
     print(json.dumps({"sub_metrics": results}), file=sys.stderr, flush=True)
-    print(
-        json.dumps(
-            {
-                "metric": "concurrent_realtime_streams_per_chip_whisper_large_v3",
-                "value": round(headline, 1),
-                "unit": "streams",
-                "vs_baseline": round(headline / baseline_streams, 2),
-            }
-        )
-    )
+    headline_obj = {
+        "metric": "concurrent_realtime_streams_per_chip_whisper_large_v3",
+        "value": round(headline, 1),
+        "unit": "streams",
+        "vs_baseline": round(headline / baseline_streams, 2),
+    }
+    if args.out:
+        import platform
+
+        with open(args.out, "w") as f:
+            json.dump({
+                "round": args.round,
+                "device": str(jax.devices()[0]),
+                "platform": platform.platform(),
+                "headline": headline_obj,
+                "sub_metrics": results,
+            }, f, indent=1)
+            f.write("\n")
+    print(json.dumps(headline_obj))
 
 
 if __name__ == "__main__":

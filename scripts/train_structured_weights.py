@@ -181,6 +181,34 @@ def make_batch(tok, word_ids, n_words, seeds, tok_len: int, n_mels: int):
     return np.stack(mels), np.asarray(toks, np.int32)
 
 
+def build_dataset(tok, word_ids, n_words, n_batches: int, batch: int,
+                  tok_len: int, n_mels: int, model: str) -> tuple:
+    """Pregenerate (and disk-cache) the training set: the scipy formant
+    synthesis costs ~0.5 s/example on host, which starved the TPU at
+    ~4.3 s/step when generated per step — pregenerating returns the step
+    time to device speed and reusing examples across epochs is fine (the
+    task is deliberately low-entropy)."""
+    cache = Path(f"/root/.cache/wlk-tpu/structured_ds_{model}_"
+                 f"{n_batches}x{batch}_{n_words}w_{tok_len}t.npz")
+    if cache.exists():
+        z = np.load(cache)
+        return z["mel"].astype(np.float32), z["tokens"]
+    mels = np.zeros((n_batches, batch, n_mels, 3000), np.float16)
+    toks = np.zeros((n_batches, batch, tok_len), np.int32)
+    t0 = time.time()
+    for i in range(n_batches):
+        seeds = 10_000 + np.arange(batch) + batch * i
+        m, t = make_batch(tok, word_ids, n_words, seeds, tok_len, n_mels)
+        mels[i], toks[i] = m.astype(np.float16), t
+        if i % 16 == 0:
+            print(f"[data] batch {i}/{n_batches} ({time.time()-t0:.0f}s)",
+                  flush=True)
+    cache.parent.mkdir(parents=True, exist_ok=True)
+    np.savez(cache, mel=mels, tokens=toks)
+    print(f"[data] cached {cache}", flush=True)
+    return mels.astype(np.float32), toks
+
+
 def save_params(params, dims_name: str, path: Path) -> None:
     import jax
 
@@ -262,12 +290,17 @@ def greedy_eval(params, dims, tok, word_ids, n_words, seeds, tok_len):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="base")
-    ap.add_argument("--steps", type=int, default=400)
+    ap.add_argument("--steps", type=int, default=2000)
     ap.add_argument("--batch", type=int, default=8)
-    ap.add_argument("--lr", type=float, default=3e-4)
+    ap.add_argument("--dataset-batches", type=int, default=64,
+                    help="pregenerated batches cycled across epochs")
+    ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--tok-len", type=int, default=48)
     ap.add_argument("--n-words", type=int, default=24)
     ap.add_argument("--out", default=None)
+    ap.add_argument("--out-native", default=None,
+                    help="also write a native orbax checkpoint dir "
+                    "(loadable via --model-path)")
     ap.add_argument("--report", default=None, help="write a JSON training report")
     args = ap.parse_args()
 
@@ -289,8 +322,18 @@ def main():
     print(f"[train] {args.model}: {n_words}-word vocab: {words}", flush=True)
 
     mesh = Mesh(np.array(jax.devices()[:1]).reshape(1, 1), ("data", "model"))
-    tx = T.make_optimizer(args.lr)
+    import optax
+
+    sched = optax.warmup_cosine_decay_schedule(
+        0.0, args.lr, warmup_steps=min(200, args.steps // 10),
+        decay_steps=args.steps, end_value=args.lr * 0.05,
+    )
+    tx = T.make_optimizer(sched)
     state = T.init_train_state(dims, mesh, tx, dtype=jnp.float32)
+
+    mels, tokens_all = build_dataset(
+        tok, word_ids, n_words, args.dataset_batches, args.batch,
+        args.tok_len, dims.n_mels, args.model)
 
     step_fn = jax.jit(
         lambda st, mel, tokens: T.train_step(st, mel, tokens, dims, tx),
@@ -299,12 +342,11 @@ def main():
     t0 = time.time()
     losses = []
     for i in range(args.steps):
-        seeds = 10_000 + np.arange(args.batch) + args.batch * i
-        mel, tokens = make_batch(
-            tok, word_ids, n_words, seeds, args.tok_len, dims.n_mels)
-        state, loss = step_fn(state, jnp.asarray(mel), jnp.asarray(tokens))
+        j = i % args.dataset_batches
+        state, loss = step_fn(
+            state, jnp.asarray(mels[j]), jnp.asarray(tokens_all[j]))
         losses.append(float(loss))
-        if i % 20 == 0 or i == args.steps - 1:
+        if i % 50 == 0 or i == args.steps - 1:
             print(f"[train] step {i}: loss {float(loss):.4f} "
                   f"({time.time()-t0:.0f}s)", flush=True)
 
@@ -322,6 +364,14 @@ def main():
     Path(out).parent.mkdir(parents=True, exist_ok=True)
     save_params(params_bf16, args.model, Path(out))
     print(f"[train] saved {out}", flush=True)
+    if args.out_native:
+        # native orbax checkpoint: loadable through the PRODUCT surface
+        # (`wlk serve --model-path <dir>` / TestHarness model_dir), so the
+        # e2e quality harness runs structured weights end-to-end
+        from whisperlivekit_tpu.models.whisper.load import save_native
+
+        save_native(params_bf16, dims, args.out_native)
+        print(f"[train] saved native checkpoint {args.out_native}", flush=True)
     if args.report:
         Path(args.report).write_text(json.dumps({
             "model": args.model, "steps": args.steps, "batch": args.batch,

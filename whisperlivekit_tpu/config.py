@@ -136,6 +136,17 @@ class WLKConfig:
     xkv_cache: str = "auto"                  # group cross-KV cache: auto|on|off
     xkv_cache_dtype: str = "bf16"            # pool storage: bf16 (exact) | f8 (capacity)
     xkv_anchor_cohorts: int = 1              # stagger group re-anchors (p95 tail)
+    serving_prefix_cap: int = 0              # pooled-serving decode-prefix bound
+                                             # (context trimmed first). 0 = auto
+                                             # (96 when the cross-KV pool serves).
+                                             # Sizes the self-KV pool width, so
+                                             # capacity trades ~linearly against
+                                             # text-context length — the measured
+                                             # curve is docs/perf/
+                                             # probe_skv_width.json; the reference
+                                             # lets context reach ~428 tokens
+                                             # (align_att_base.py:100-113) at
+                                             # per-session-decode cost.
     max_decode_steps: int = 8                # per-tick decode budget (static device
                                              # loop bound). Exhaustion keeps tokens
                                              # and the next tick continues; final

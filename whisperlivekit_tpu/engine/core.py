@@ -111,6 +111,7 @@ class SimulStreamingASR:
             xkv_cache_dtype=getattr(config, "xkv_cache_dtype", "bf16"),
             anchor_cohorts=int(getattr(config, "xkv_anchor_cohorts", 1) or 1),
             max_steps=int(getattr(config, "max_decode_steps", 32) or 32),
+            serving_prefix_cap=int(getattr(config, "serving_prefix_cap", 0) or 0),
         )
         self.engine = AlignAttEngine(
             params, dims, self.tokenizer, self.cfg, model_name=model_name,

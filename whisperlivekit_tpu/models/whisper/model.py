@@ -311,6 +311,7 @@ def encode(
     mel: jnp.ndarray,
     dims: ModelDimensions,
     pos_start: Optional[jnp.ndarray] = None,
+    flash: Optional[bool] = None,
 ) -> jnp.ndarray:
     """mel [B, n_mels, 2*F] -> encoder features [B, F, D].
 
@@ -336,8 +337,14 @@ def encode(
 
     n_head = dims.n_audio_head
     T0 = x.shape[1]
-    use_flash = _flash_attn_available(
-        ((T0 + 127) // 128) * 128, dims.n_audio_state // n_head
+    # `flash` forces the path: the Pallas kernel has no VJP, so the training
+    # step (parallel/train.py) passes flash=False to stay differentiable.
+    use_flash = (
+        _flash_attn_available(
+            ((T0 + 127) // 128) * 128, dims.n_audio_state // n_head
+        )
+        if flash is None
+        else flash
     )
     if use_flash and T0 % 128 != 0:
         # lane-align the sequence for the kernel; padded KEY columns are

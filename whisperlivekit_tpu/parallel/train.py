@@ -34,7 +34,10 @@ def make_optimizer(lr: float = 1e-4, weight_decay: float = 0.01) -> optax.Gradie
 
 def loss_fn(params, mel, tokens, dims: ModelDimensions):
     """Teacher-forced next-token cross-entropy over the decoder."""
-    enc = wm.encode(params, mel, dims)
+    # flash=False: the Pallas flash-encoder kernel has no VJP; the XLA
+    # attention path is differentiable (and uses online-softmax chunking
+    # when the materialized scores would not fit).
+    enc = wm.encode(params, mel, dims, flash=False)
     xkv = wm.cross_kv(params, enc, dims)
     B = tokens.shape[0]
     cache = wm.init_cache(dims, B, dtype=params["decoder"]["tok_emb"].dtype)
