@@ -277,7 +277,8 @@ def run_model(model: str, minutes: float, frame_threshold: int, xkv_dtype: str,
 
 
 def run_decoder_ab(model: str, minutes: float, frame_threshold: int,
-                   xkv_dtype: str) -> dict:
+                   xkv_dtype: str, weights: str = None,
+                   audio_kind: str = "speech") -> dict:
     """Quality gate for the f8d capacity arm (bench.py): two PRODUCTION
     incremental sessions fed identical audio — one with bf16 decoder
     linears, one with quantize_decoder_f8 weights — compared on the gate
@@ -285,18 +286,24 @@ def run_decoder_ab(model: str, minutes: float, frame_threshold: int,
     dtype: both arms run the same inc/anchor encode path and xkv dtype."""
     from whisperlivekit_tpu.streaming.alignatt import run_tick_batch
 
-    eng_a = build_engine(model, frame_threshold, xkv_dtype, "bf16")
-    eng_b = build_engine(model, frame_threshold, xkv_dtype, "f8")
+    eng_a = build_engine(model, frame_threshold, xkv_dtype, "bf16", weights)
+    eng_b = build_engine(model, frame_threshold, xkv_dtype, "f8", weights)
     tok = eng_a.tokenizer
     arms = {"bf16": (eng_a, make_inc_session(eng_a)),
             "f8": (eng_b, make_inc_session(eng_b))}
 
+    if audio_kind == "events":
+        from train_structured_weights import events_audio
+
+        gen = lambda sec, t: events_audio(sec, seed=7, t0=t)
+    else:
+        gen = lambda sec, t: speech_like(sec, seed=7, t0=t)
     n_ticks = int(minutes * 60)
     toks = {"bf16": [], "f8": []}
     attend = {"bf16": [], "f8": []}
     t0 = time.perf_counter()
     for i in range(n_ticks):
-        audio = speech_like(1.0, seed=7, t0=float(i))
+        audio = gen(1.0, float(i))
         for name, (eng, s) in arms.items():
             s.insert_audio(audio.copy())
             ti = s.prepare_tick(False)
@@ -319,6 +326,8 @@ def run_decoder_ab(model: str, minutes: float, frame_threshold: int,
         "comparison": "decoder_bf16_vs_f8",
         "model": model,
         "minutes": minutes,
+        "weights": weights,
+        "audio": audio_kind,
         "xkv_dtype": xkv_dtype,
         "n_ticks": len(pairs),
         "gate_flip_rate": round(flips / max(len(pairs), 1), 4),
@@ -366,7 +375,8 @@ def main():
             if args.decoder_ab:
                 print(f"[ab] {m}: decoder bf16 vs f8, {args.minutes} min ...",
                       flush=True)
-                r = run_decoder_ab(m, args.minutes, ft, args.xkv_dtype)
+                r = run_decoder_ab(m, args.minutes, ft, args.xkv_dtype,
+                                   weights=args.weights, audio_kind=audio_kind)
             else:
                 print(f"[ab] {m}: {args.minutes} min, ft={ft} "
                       f"xkv={args.xkv_dtype} audio={audio_kind} ...", flush=True)

@@ -267,6 +267,10 @@ def main():
     ap.add_argument("--n", type=int, nargs="+", default=[64])
     ap.add_argument("--duration", type=float, default=60.0)
     ap.add_argument("--model", default="random:large-v3")
+    ap.add_argument("--model-path", default=None,
+                    help="native checkpoint dir (e.g. a structured-weights "
+                    "checkpoint from train_structured_weights.py "
+                    "--out-native) — overrides --model's random init")
     ap.add_argument("--xkv-dtype", default="f8", choices=["bf16", "f8"])
     ap.add_argument("--policy", default="simulstreaming")
     ap.add_argument("--stagger", type=float, default=8.0,
@@ -308,6 +312,7 @@ def main():
 
     engine_kwargs = dict(
         model_size=args.model,
+        **({"model_path": args.model_path} if args.model_path else {}),
         lan="en",
         backend_policy=args.policy,
         vac=not args.no_vac,

@@ -96,7 +96,7 @@ def main():
         "prepare_ms_mean": round(float(np.mean([r["prepare_ms"] for r in rows[5:]])), 1) if len(rows) > 5 else None,
         "finish_ms_mean": round(float(np.mean([r["finish_ms"] for r in rows[5:]])), 1) if len(rows) > 5 else None,
         "phases": {k: {"n": n, "total_ms": round(t * 1e3, 1)}
-                   for k, (n, t) in A.TICK_PHASE_STATS.items()},
+                   for k, (n, t, *_l) in A.TICK_PHASE_STATS.items()},
     }
     print(json.dumps(summary))
     if args.out:

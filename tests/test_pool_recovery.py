@@ -149,7 +149,7 @@ def test_pooled_failure_recovers_and_serves(engine, monkeypatch):
     assert enc_pool.generation == 1
     assert g.k.shape == shapes_before["k"]
     assert g.skv_k.shape == shapes_before["skv"]
-    n_rec, _ = A.TICK_PHASE_STATS.get("pool_recovery", (0, 0.0))
+    n_rec = A.TICK_PHASE_STATS.get("pool_recovery", (0, 0.0, 0))[0]
     assert n_rec == 1
 
     # next tick: sessions notice the generation bump and re-anchor ...

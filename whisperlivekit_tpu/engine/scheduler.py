@@ -33,6 +33,7 @@ import time
 from typing import List, Optional, Tuple
 
 from ..streaming.alignatt import (
+    ANCHOR_REASONS,
     TICK_PHASE_STATS,
     AlignAttEngine,
     AlignAttSession,
@@ -125,6 +126,7 @@ class BatchScheduler:
         self._tick_q = _Quantiles()
         self._tick_ewma = 0.0  # device-tick wall estimate for the yield sleep
         TICK_PHASE_STATS.clear()
+        ANCHOR_REASONS.clear()
         # jax profiler: trace the first N ticks into profile_dir (view with
         # tensorboard / xprof) — the serving-path observability hook.
         self._profile_dir = profile_dir
@@ -214,6 +216,7 @@ class BatchScheduler:
         self._emit_q = _Quantiles()
         self._tick_q = _Quantiles()
         TICK_PHASE_STATS.clear()
+        ANCHOR_REASONS.clear()
 
     def stats(self) -> dict:
         return {
@@ -232,9 +235,11 @@ class BatchScheduler:
             **({"xkv": self.xkv.stats()} if self.xkv is not None else {}),
             "tick_phases": {
                 k: {"n": n, "total_ms": round(tot * 1e3, 1),
-                    "mean_ms": round(tot / n * 1e3, 1)}
-                for k, (n, tot) in TICK_PHASE_STATS.items() if n
+                    "mean_ms": round(tot / n * 1e3, 1),
+                    "mean_lanes": round(lanes / n, 1)}
+                for k, (n, tot, lanes) in TICK_PHASE_STATS.items() if n
             },
+            "anchor_reasons": dict(ANCHOR_REASONS),
         }
 
     # ---- internals ----------------------------------------------------------------

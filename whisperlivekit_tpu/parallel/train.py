@@ -32,8 +32,19 @@ def make_optimizer(lr: float = 1e-4, weight_decay: float = 0.01) -> optax.Gradie
     return optax.adamw(lr, weight_decay=weight_decay)
 
 
-def loss_fn(params, mel, tokens, dims: ModelDimensions):
-    """Teacher-forced next-token cross-entropy over the decoder."""
+def loss_fn(params, mel, tokens, dims: ModelDimensions, align=None,
+            align_lo=None, align_hi=None, align_weight: float = 1.0):
+    """Teacher-forced next-token cross-entropy over the decoder.
+
+    Optional alignment supervision (``align``: an ``AlignSpec`` of the heads
+    the serving gate reads, plus per-row frame windows ``align_lo``/
+    ``align_hi`` [S] int32, -1 = unsupervised): adds
+    ``-log(attention mass inside the true word's frames)`` averaged over the
+    registered heads. The AlignAtt gate's whole contract is that those heads
+    attend the frames of the token being decoded; when the true alignment is
+    known (synthetic aligned data, forced alignment), supervising it directly
+    is the standard attention-guided-training recipe and converges orders of
+    magnitude faster than waiting for monotonic alignment to emerge."""
     # flash=False: the Pallas flash-encoder kernel has no VJP; the XLA
     # attention path is differentiable (and uses online-softmax chunking
     # when the materialized scores would not fit).
@@ -42,17 +53,35 @@ def loss_fn(params, mel, tokens, dims: ModelDimensions):
     B = tokens.shape[0]
     cache = wm.init_cache(dims, B, dtype=params["decoder"]["tok_emb"].dtype)
     inputs, targets = tokens[:, :-1], tokens[:, 1:]
-    logits, _, _ = wm.decode(
-        params, inputs, jnp.zeros((B,), jnp.int32), xkv, cache, dims
+    logits, aprob, _ = wm.decode(
+        params, inputs, jnp.zeros((B,), jnp.int32), xkv, cache, dims,
+        align=align,
     )
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
     mask = (targets >= 0).astype(jnp.float32)
-    return (nll * mask).sum() / jnp.maximum(mask.sum(), 1.0)
+    ce = (nll * mask).sum() / jnp.maximum(mask.sum(), 1.0)
+    if align is None:
+        return ce
+    # aprob [K,B,S,T]: probability mass inside the supervised window
+    T_enc = aprob.shape[-1]
+    t_idx = jnp.arange(T_enc, dtype=jnp.int32)[None, :]
+    win = ((t_idx >= align_lo[:, None]) & (t_idx < align_hi[:, None]))
+    win = win.astype(jnp.float32)[None, None, :, :]      # [1,1,S,T]
+    mass = (aprob * win).sum(-1)                         # [K,B,S]
+    sup = (align_lo >= 0).astype(jnp.float32)[None, None, :]
+    a_nll = -jnp.log(jnp.clip(mass, 1e-6, 1.0))
+    a_loss = (a_nll * sup).sum() / jnp.maximum(
+        sup.sum() * aprob.shape[0] * aprob.shape[1], 1.0)
+    return ce + align_weight * a_loss
 
 
-def train_step(state: TrainState, mel, tokens, dims: ModelDimensions, tx) -> tuple:
-    loss, grads = jax.value_and_grad(loss_fn)(state.params, mel, tokens, dims)
+def train_step(state: TrainState, mel, tokens, dims: ModelDimensions, tx,
+               align=None, align_lo=None, align_hi=None,
+               align_weight: float = 1.0) -> tuple:
+    loss, grads = jax.value_and_grad(loss_fn)(
+        state.params, mel, tokens, dims, align, align_lo, align_hi,
+        align_weight)
     updates, opt_state = tx.update(grads, state.opt_state, state.params)
     params = optax.apply_updates(state.params, updates)
     return TrainState(params, opt_state, state.step + 1), loss

@@ -709,7 +709,17 @@ class PcmIngest:
         hi = lo + len(pcm)
         events = []
         if self.use_vad and self.vad is not None:
-            events = (await self.vad(pcm) if self.vad_is_async else self.vad(pcm)) or []
+            if self.vad_is_async:
+                events = (await self.vad(pcm)) or []
+            else:
+                # Host Silero costs ~10 ms per 0.5 s chunk (torch.jit, GIL
+                # released inside ops). Inline that is ~50% event-loop
+                # occupancy at 24 real-time sessions — measured to collapse
+                # serving (e2e n=24: 10 ticks/120 s with inline VAD vs 70
+                # with VAD off). A worker thread keeps the loop free; VAD
+                # state is per-session so only this session's _segment
+                # (serial by construction) touches it.
+                events = (await asyncio.to_thread(self.vad, pcm)) or []
 
         gate = self.proc.silence_gate
         cursor = 0  # offset into pcm of un-emitted audio

@@ -1668,9 +1668,9 @@ def _timed_pool_update(pool: AudioPool, ticks: List[TickInputs]) -> None:
             if t.pool_lane is not None and t.pool_update is not None
         ]
     )
-    n_t, tot = TICK_PHASE_STATS.get("pool_update", (0, 0.0))
+    n_t, tot, lanes = TICK_PHASE_STATS.get("pool_update", (0, 0.0, 0))
     TICK_PHASE_STATS["pool_update"] = (
-        n_t + 1, tot + (time.perf_counter() - t_p)
+        n_t + 1, tot + (time.perf_counter() - t_p), lanes + len(ticks)
     )
 
 
@@ -1731,16 +1731,28 @@ def finalize_tick_batch(pends: list, n: int) -> List[TickOutputs]:
     outs: List[Optional[TickOutputs]] = [None] * n
     for mk, idxs, fetch, t_g in pends:
         res = fetch()
-        n_t, tot = TICK_PHASE_STATS.get(mk, (0, 0.0))
-        TICK_PHASE_STATS[mk] = (n_t + 1, tot + (time.perf_counter() - t_g))
+        n_t, tot, lanes = TICK_PHASE_STATS.get(mk, (0, 0.0, 0))
+        TICK_PHASE_STATS[mk] = (
+            n_t + 1, tot + (time.perf_counter() - t_g), lanes + len(idxs)
+        )
         for i, o in zip(idxs, res):
             outs[i] = o
     return outs  # type: ignore[return-value]
 
 
-# mode -> (n_group_calls, total_s): where batch ticks spend wall time, by
-# encode-mode partition (exported via BatchScheduler.stats for e2e runs)
+# mode -> (n_group_calls, total_s, n_lanes): where batch ticks spend wall
+# time, by encode-mode partition (exported via BatchScheduler.stats)
 TICK_PHASE_STATS: dict = {}
+
+# why lanes fell off the cheap "inc" path (exported next to TICK_PHASE_STATS;
+# the e2e-vs-tick-model gap attribution needs to know whether anchors come
+# from evictions — the 1-in-epoch cost the capacity model amortizes — or
+# from resets/catch-up bursts the model does not see)
+ANCHOR_REASONS: dict = {}
+
+
+def _count_anchor(reason: str) -> None:
+    ANCHOR_REASONS[reason] = ANCHOR_REASONS.get(reason, 0) + 1
 
 
 def _dispatch_group_legacy(engine, ticks, tokenizer, pool):
@@ -2037,8 +2049,8 @@ def _recover_group(engine, xkv: "XKVAllocator", gi: int, enc_pool: Optional[EncP
             engine.params["decoder"]["tok_emb"].dtype,
         )
         enc_pool.generation += 1
-    n_t, tot = TICK_PHASE_STATS.get("pool_recovery", (0, 0.0))
-    TICK_PHASE_STATS["pool_recovery"] = (n_t + 1, tot)
+    n_t, tot, lanes = TICK_PHASE_STATS.get("pool_recovery", (0, 0.0, 0))
+    TICK_PHASE_STATS["pool_recovery"] = (n_t + 1, tot, lanes)
 
 
 def _dispatch_pooled_recovering(dispatch, engine, xkv, gi, enc_pool, ticks,
@@ -2677,6 +2689,14 @@ class AlignAttSession:
             ti.tail_start = max(0, win - tail)
         else:
             ti.enc_mode = "anchor"
+            if self._enc_key != key:
+                _count_anchor("evict_or_reset")
+            elif not (0 < self._enc_synced_frames <= win):
+                _count_anchor("unsynced")
+            elif win - write_start > tail - 2:
+                _count_anchor("catchup_burst")
+            else:
+                _count_anchor("splice_window")
         if pooled and ti.enc_mode == "inc":
             plan = self._skv_refresh_plan(ti)
             if plan is None:
@@ -2684,6 +2704,7 @@ class AlignAttSession:
                 # truncation, >R-1 delta rows): rebuild the pooled decoder
                 # state with a full prefill via the anchor path
                 ti.enc_mode = "anchor"
+                _count_anchor("skv_plan_miss")
             else:
                 ti.skv_refresh_tokens, ti.skv_refresh_pos = plan
         if pooled:
