@@ -251,7 +251,12 @@ def test_refresh_plan_layout(engine):
     assert s.skv_tokens[: len(ti.prefix_ids)] == list(ti.prefix_ids)
 
 
-def test_prefix_shift_forces_anchor(engine):
+def test_prefix_shift_full_refreshes_not_anchors(engine):
+    """A prefix front shift (context trim/reshuffle) with a VALID encoder
+    state must stay on the inc path via the full-width refresh plan — the
+    audio window did not change, so a full-window anchor re-encode would be
+    pure waste (r4: head shifts were 580/1178 e2e anchors). A dead mirror
+    (pool resync) still forces the anchor rebuild."""
     pool, enc_pool, xkv, sessions = _wire(engine, n=1, group_width=1)
     s = sessions[0]
     _tick_all(engine, sessions[:1], pool, enc_pool, xkv, lambda i: _audio(2.0))
@@ -259,12 +264,23 @@ def test_prefix_shift_forces_anchor(engine):
     s.context.text = "completely different context text that shifts everything"
     s.insert_audio(_audio(0.5, seed=4))
     ti = s.prepare_tick(False)
-    assert ti.enc_mode == "anchor"  # refresh can't cover a front shift
-
-    # and a dead mirror also forces the rebuild
-    s2 = sessions[0]
-    s2.skv_tokens = None
-    ti2 = s2.prepare_tick(False)
+    assert ti.enc_mode == "inc"
+    Rf = A._skv_full_refresh_rows(engine, xkv.groups[0].skv_width)
+    assert len(ti.skv_refresh_tokens) == Rf
+    plen = len(ti.prefix_ids)
+    # full plan: slot 0 = sot row, rows cover the ENTIRE prefix [0, plen)
+    assert ti.skv_refresh_pos[0] == ti.sot_index
+    assert list(ti.skv_refresh_pos[Rf - plen:]) == list(range(plen))
+    assert list(ti.skv_refresh_tokens[Rf - plen:]) == list(ti.prefix_ids)
+    # the program runs and the mirror heals to the shifted prefix
+    out = A.run_tick_batch(
+        engine, [ti], engine.tokenizer, pool=pool, enc_pool=enc_pool, xkv=xkv
+    )[0]
+    s.finish_tick(ti, out)
+    assert s.skv_tokens[:plen] == list(ti.prefix_ids)
+    # a dead mirror still forces the anchor rebuild
+    s.skv_tokens = None
+    ti2 = s.prepare_tick(False)
     assert ti2.enc_mode == "anchor"
 
 
@@ -297,3 +313,98 @@ def test_serving_prefix_cap_bounds_pool_and_prefix(engine):
     s2.insert_audio(_audio(2.0))
     ti2 = s2.prepare_tick(False)
     assert len(ti2.prefix_ids) > cap
+
+
+def test_cap_trim_hysteresis_keeps_refresh_plan_alive(engine):
+    """Saturating the serving cap must not shift the prefix head every tick:
+    trimming to exactly the cap invalidated the self-KV refresh plan each
+    tick (common-prefix ~= 0 -> full prefill per tick; measured e2e n=24:
+    975/1178 anchors were skv_plan_miss). The trim drops a block BELOW the
+    cap, so steady commits reuse the plan until the next block trim."""
+    cap = engine.serving_prefix_cap
+    pool, enc_pool, alloc, sessions = _wire(engine, n=1, group_width=1)
+    s = sessions[0]
+    s.context.text = " hello" * 120
+    s.committed_tokens = [[400 + i for i in range(40)]]
+    s.insert_audio(_audio(2.0))
+    ti = s.prepare_tick(False)
+    assert ti is not None
+    # hysteresis: trimmed a block under the cap, not to the brim
+    assert len(ti.prefix_ids) <= cap - 16
+    # seed the device mirror as finish_tick would, then commit a few more
+    # tokens: the refresh plan must HIT (no anchor) because the head of the
+    # prefix did not move
+    s.skv_tokens = list(ti.prefix_ids)
+    s.committed_tokens[0].extend([500, 501, 502])
+    s.insert_audio(_audio(1.0))
+    ti2 = s.prepare_tick(False)
+    assert ti2 is not None
+    assert ti2.prefix_ids[: len(ti.prefix_ids)] == ti.prefix_ids
+    plan = s._skv_refresh_plan(ti2)
+    assert plan is not None
+
+
+def test_tail_keep_hysteresis_first_epoch(engine):
+    """The first-epoch production case: context is EMPTY (nothing evicted
+    yet) and in-window committed tokens alone exceed the serving cap, so
+    trim_context cannot help and prepare_tick's tail-keep does the cut.
+    Keeping exactly the last `cap` tokens moved the head every tick
+    (measured e2e n=24: skv_miss.head_shift 593 of 1178 anchors -> one full
+    prefill per tick). The block-aligned head drop must keep the kept head
+    FIXED across a few commits so the refresh plan hits."""
+    cap = engine.serving_prefix_cap
+    pool, enc_pool, alloc, sessions = _wire(engine, n=1, group_width=1)
+    s = sessions[0]
+    assert s.context.is_empty()
+    s.committed_tokens = [[600 + i for i in range(cap + 7)]]
+    s.insert_audio(_audio(2.0))
+    ti = s.prepare_tick(False)
+    assert ti is not None
+    assert len(ti.prefix_ids) <= cap
+    # hysteresis: dropped a block extra, leaving headroom under the cap
+    assert len(ti.prefix_ids) <= cap - 8
+    s.skv_tokens = list(ti.prefix_ids)
+    # a few more commits: head must not move, plan must hit
+    for extra in range(3):
+        s.committed_tokens[0].append(900 + extra)
+        s.insert_audio(_audio(0.5))
+        ti2 = s.prepare_tick(False)
+        assert ti2 is not None
+        assert ti2.prefix_ids[: len(ti.prefix_ids)] == ti.prefix_ids
+        plan = s._skv_refresh_plan(ti2)
+        assert plan is not None
+        s.skv_tokens = list(ti2.prefix_ids)
+        ti = ti2
+
+
+def test_full_refresh_rows_match_anchor_prefill(engine):
+    """The full-width refresh rebuilds the self-KV rows through decode()'s
+    scatter-before-attend, so the rebuilt rows must match what an anchor
+    prefill computes for the same prefix against the same cross-KV (same
+    math, different block width -> allclose, not bitwise)."""
+    pool, enc_pool, xkv, sessions = _wire(engine, n=1, group_width=1)
+    s = sessions[0]
+    _tick_all(engine, sessions[:1], pool, enc_pool, xkv, lambda i: _audio(2.0))
+    g = xkv.groups[0]
+    # shift the head: drop the first committed segment's first 3 tokens
+    if s.committed_tokens and len(s.committed_tokens[0]) > 4:
+        s.committed_tokens[0] = s.committed_tokens[0][3:]
+    s.insert_audio(_audio(0.5, seed=9))
+    ti = s.prepare_tick(False)
+    assert ti.enc_mode == "inc"
+    assert len(ti.skv_refresh_tokens) > A.SKV_REFRESH_ROWS  # full plan
+    plen = len(ti.prefix_ids)
+    A.run_tick_batch(engine, [ti], engine.tokenizer,
+                     pool=pool, enc_pool=enc_pool, xkv=xkv)
+    refreshed_k = np.asarray(g.skv_k[:, 0, :plen])
+
+    # twin group: force the same prefix through the ANCHOR prefill
+    s.skv_tokens = None
+    s._enc_key = None
+    ti2 = s.prepare_tick(False)
+    assert ti2.enc_mode == "anchor"
+    assert list(ti2.prefix_ids) == list(ti.prefix_ids)
+    A.run_tick_batch(engine, [ti2], engine.tokenizer,
+                     pool=pool, enc_pool=enc_pool, xkv=xkv)
+    anchored_k = np.asarray(g.skv_k[:, 0, :plen])
+    np.testing.assert_allclose(refreshed_k, anchored_k, rtol=2e-4, atol=2e-5)

@@ -1965,26 +1965,30 @@ def precompile_serving_programs(
     )
     times: dict = {}
 
-    t0 = time.perf_counter()
-    try:
-        alignatt_tick_inc_skv.lower(
-            p_sds, sds((audio_capacity, N_SAMPLES), jnp.int16),
-            kv(), kv(), enc_p(), skv(), skv(), stat(), stat(), stat(),
-            sds((G,), jnp.float32), i32(G, dims.n_text_ctx),
-            i32(G), i32(G), i32(G), i32(G), i32(G),
-            i32(G, SKV_REFRESH_ROWS), i32(G, SKV_REFRESH_ROWS),
-            i32(G), i32(G), i32(G), sds((G,), bool), i32(G),
-            sds((dims.n_vocab,), jnp.float32),
-            sds((K,), jnp.int32), sds((K,), jnp.int32),
-            sds((), jnp.int32), sds((), jnp.int32), sds((), jnp.float32),
-            sds((G,), bool),
-            sds((dims.n_audio_state,), jnp.float32), sds((), jnp.float32),
-            tail_frames=cfg.enc_tail_frames, **statics,
-        ).compile()
-        times["inc_skv"] = round(time.perf_counter() - t0, 1)
-    except Exception as e:
-        logger.warning("precompile inc_skv failed: %s", e)
-        times["inc_skv"] = None
+    for key, R in (
+        ("inc_skv", SKV_REFRESH_ROWS),
+        ("inc_skv_full", _skv_full_refresh_rows(engine, xkv.skv_width)),
+    ):
+        t0 = time.perf_counter()
+        try:
+            alignatt_tick_inc_skv.lower(
+                p_sds, sds((audio_capacity, N_SAMPLES), jnp.int16),
+                kv(), kv(), enc_p(), skv(), skv(), stat(), stat(), stat(),
+                sds((G,), jnp.float32), i32(G, dims.n_text_ctx),
+                i32(G), i32(G), i32(G), i32(G), i32(G),
+                i32(G, R), i32(G, R),
+                i32(G), i32(G), i32(G), sds((G,), bool), i32(G),
+                sds((dims.n_vocab,), jnp.float32),
+                sds((K,), jnp.int32), sds((K,), jnp.int32),
+                sds((), jnp.int32), sds((), jnp.int32), sds((), jnp.float32),
+                sds((G,), bool),
+                sds((dims.n_audio_state,), jnp.float32), sds((), jnp.float32),
+                tail_frames=cfg.enc_tail_frames, **statics,
+            ).compile()
+            times[key] = round(time.perf_counter() - t0, 1)
+        except Exception as e:
+            logger.warning("precompile %s failed: %s", key, e)
+            times[key] = None
 
     p_max = engine.bucket_for(engine.serving_prefix_cap or engine.prefix_buckets[-1])
     B = 8
@@ -2088,6 +2092,16 @@ def _dispatch_pooled_recovering(dispatch, engine, xkv, gi, enc_pool, ticks,
     return safe_fetch
 
 
+def _skv_full_refresh_rows(engine, skv_width: int) -> int:
+    """Static width of the FULL-prefix refresh plan: slot 0 (sot row) + up
+    to serving-cap prefix rows, rounded up to a multiple of 8 so the block
+    decode keeps the flash-prefill path (decode() requires S % 8 == 0).
+    One of exactly two compiled refresh widths (the other SKV_REFRESH_ROWS),
+    so serving never compiles a fresh shape mid-stream."""
+    cap = engine.serving_prefix_cap or (skv_width - engine.cfg.max_steps - 2)
+    return -(-(cap + 1) // 8) * 8
+
+
 def _dispatch_group_xkv_inc(engine, ticks, tokenizer, pool, enc_pool, xkv, gi):
     """Incremental ticks over the group-resident cross-KV AND self-KV pools
     (alignatt_tick_inc_skv — no per-tick prefill, no prefix upload, and no
@@ -2101,7 +2115,12 @@ def _dispatch_group_xkv_inc(engine, ticks, tokenizer, pool, enc_pool, xkv, gi):
     g = xkv.groups[gi]
     G = g.group_width
     Wc = g.skv_width
-    R = SKV_REFRESH_ROWS
+    # Two refresh widths only: the slim per-tick delta (SKV_REFRESH_ROWS)
+    # and the full-prefix rebuild (head shift with a valid encoder state —
+    # re-decoding the prefix against the pooled cross-KV costs a prefill,
+    # not the chunked anchor's full-window re-encode). A group tick runs at
+    # the widest width any lane needs; slim plans pad with scratch rows.
+    R = max(len(t.skv_refresh_tokens) for t in ticks)
     # p_max only sizes the (unused-on-device) prefix array here; prefix_len
     # still rides to the device for the loop's position math
     p_host = max(8, max(len(t.prefix_ids) for t in ticks))
@@ -2131,9 +2150,21 @@ def _dispatch_group_xkv_inc(engine, ticks, tokenizer, pool, enc_pool, xkv, gi):
         tail_start[sl] = t.tail_start
         win_frames[sl] = t.content_frames
         write_start[sl] = t.write_start
-        r_tok[sl] = t.skv_refresh_tokens
-        r_pos[sl] = t.skv_refresh_pos
+        r = len(t.skv_refresh_tokens)
+        if r == R:
+            r_tok[sl] = t.skv_refresh_tokens
+            r_pos[sl] = t.skv_refresh_pos
+        else:
+            # pad a slim plan to the full width: slot 0 (sot row) and the
+            # right-aligned delta rows keep their conventional slots; the
+            # middle fills with scratch rows (layout is positional only in
+            # slots 0 and R-1)
+            r_tok[sl, 0] = t.skv_refresh_tokens[0]
+            r_pos[sl, 0] = t.skv_refresh_pos[0]
+            r_tok[sl, R - (r - 1):] = t.skv_refresh_tokens[1:]
+            r_pos[sl, R - (r - 1):] = t.skv_refresh_pos[1:]
     cfg = engine.cfg
+    mode_key = "inc_skv" if R == SKV_REFRESH_ROWS else "inc_skv_full"
 
     def call():
         raw = alignatt_tick_inc_skv(
@@ -2169,7 +2200,7 @@ def _dispatch_group_xkv_inc(engine, ticks, tokenizer, pool, enc_pool, xkv, gi):
         return fetch
 
     return _dispatch_pooled_recovering(
-        call, engine, xkv, gi, enc_pool, ticks, tokenizer, pool, "inc_skv"
+        call, engine, xkv, gi, enc_pool, ticks, tokenizer, pool, mode_key
     )
 
 
@@ -2455,6 +2486,15 @@ class AlignAttSession:
         # device self-KV cache token mirror (None = pooled rows invalid; the
         # next pooled tick rebuilds them via the anchor prefill)
         self.skv_tokens: Optional[List[int]] = None
+        # prepare_tick's cap tail-keep: head tokens currently dropped (block-
+        # aligned with hysteresis so the kept head stays put across ticks)
+        self._cap_head_drop = 0
+        # set when this tick will pay a full prefill anyway (eviction, pool
+        # resync): trim_context then trims DEEP (two blocks under the cap)
+        # so the cap does not bind again before the next forced anchor —
+        # cap-trim head shifts between anchors each cost one extra full
+        # prefill (measured e2e n=24: skv_miss.head_shift 580/1178 anchors)
+        self._deep_trim = False
         # audio-pool sync bookkeeping
         self.evicted_samples = 0
         self._audio_gen = getattr(self, "_audio_gen", 0) + 1
@@ -2497,6 +2537,7 @@ class AlignAttSession:
             if self.committed_tokens:
                 self.context.append_token_ids(self.committed_tokens[0])
                 self.committed_tokens = self.committed_tokens[1:]
+            self._deep_trim = True  # eviction forces an anchor: trim deep
         return removed
 
     def trim_context(self) -> None:
@@ -2518,7 +2559,21 @@ class AlignAttSession:
             # below is the real bound); a fixed 64 would waste cap room
             max_ctx = max(max_ctx, cap)
         after = len(self.cfg.static_init_prompt or "")
-        while c > max_ctx or l > self.max_text_len - 20 or (cap and total > cap):
+        # Hysteresis on the cap trim: trimming exactly to the cap shifts the
+        # prefix head EVERY tick once the session saturates it, which moves
+        # every row's position, misses the self-KV refresh plan, and forces
+        # a full prefill per tick (measured n=24 e2e: 975/1178 anchors were
+        # skv_plan_miss). Trimming a block below the cap keeps the prefix
+        # head stable for the next ~block of commits — one re-anchor per
+        # block instead of one per tick. On ticks that pay a full prefill
+        # anyway (eviction, mirror resync) trim TWO blocks deep so the cap
+        # does not bind again before the next forced anchor.
+        deep = self._deep_trim or self.skv_tokens is None
+        blk = min(32, cap // 4) if cap else 0
+        cap_lo = max(1, cap - (2 * blk if deep else blk)) if cap else 0
+        trim_now = cap and (total > cap or (deep and total > cap_lo))
+        cap_target = cap_lo if trim_now else cap
+        while c > max_ctx or l > self.max_text_len - 20 or (cap and total > cap_target):
             t = self.context.trim_words(after=after)
             l -= t
             c -= t
@@ -2567,10 +2622,31 @@ class AlignAttSession:
         p_need = eng.bucket_for(len(prefix_ids))
         if cap:
             p_need = min(p_need, eng.bucket_for(cap))
-        if len(prefix_ids) > min(p_need, cap or p_need):
-            keep = min(p_need, cap or p_need)
-            prefix_ids = prefix_ids[-keep:]
-            sot_index = min(sot_index, keep - 1)
+        keep_max = min(p_need, cap or p_need)
+        if len(prefix_ids) > keep_max:
+            # Block-aligned head drop with hysteresis (the tail-keep analog
+            # of trim_context's cap_lo): keeping exactly the last `keep_max`
+            # tokens moves the head every tick once in-window commits exceed
+            # the cap — the dominant first-epoch case, since context is
+            # empty until the first eviction (measured e2e n=24:
+            # skv_miss.head_shift 593, one full prefill per tick). Dropping
+            # a block EXTRA keeps the head fixed for the next ~block of
+            # commits, so the self-KV refresh plan keeps hitting.
+            drop_need = len(prefix_ids) - keep_max
+            blk = min(32, max(8, keep_max // 4))
+            extra = 2 * blk if (self._deep_trim or self.skv_tokens is None) else blk
+            if (
+                self._cap_head_drop < drop_need
+                or self._cap_head_drop > drop_need + 2 * blk
+                or self._cap_head_drop >= len(prefix_ids) - 1
+            ):
+                self._cap_head_drop = drop_need + extra
+            drop = min(self._cap_head_drop, len(prefix_ids) - 1)
+            prefix_ids = prefix_ids[drop:]
+            sot_index = max(0, min(sot_index - drop, len(prefix_ids) - 1))
+        else:
+            self._cap_head_drop = 0
+        self._deep_trim = False
 
         ti = TickInputs(
             audio=audio,
@@ -2623,6 +2699,7 @@ class AlignAttSession:
         # sessions whose window was below the threshold anchor anyway (the
         # refresh is exact, and it keeps the whole group in one program)
         self._enc_key = None
+        self._deep_trim = True
 
     def _attach_enc_plan(self, ti: TickInputs) -> None:
         """Choose how this tick encodes: "inc" extends the cached frames with
@@ -2725,6 +2802,7 @@ class AlignAttSession:
         p = ti.prefix_ids
         plen = len(p)
         if m is None or plen == 0:
+            _count_anchor("skv_miss.no_mirror")
             return None
         R = SKV_REFRESH_ROWS
         common = 0
@@ -2732,13 +2810,36 @@ class AlignAttSession:
             if a != b:
                 break
             common += 1
-        if plen - common > R - 1:
-            return None
         g = self.xkv_alloc.groups[self.xkv_gi]
         Wc = g.skv_width
         if plen > Wc - 2:  # would collide with the scratch row; anchor instead
+            _count_anchor("skv_miss.width")
             return None
-        start = max(0, min(common, plen - 1), plen - (R - 1))
+        if plen - common > R - 1:
+            # Delta exceeds the slim refresh reach (prefix head moved — cap
+            # trim / eviction reshuffle — or a commit burst). The encoder
+            # state is still valid in inc mode, so a full-window anchor
+            # would waste a 30 s re-encode on an unchanged window: instead
+            # re-decode the WHOLE prefix through the same refresh machinery
+            # (R_full rows; decode() scatters each row's K/V before
+            # attending, so the rebuilt self-KV rows equal an anchor
+            # prefill's). Gate running stats keep their inter-anchor
+            # bounded staleness, same as the slim refresh.
+            Rf = _skv_full_refresh_rows(self.engine, Wc)
+            if plen > Rf - 1:
+                _count_anchor(
+                    "skv_miss.head_shift" if common < plen // 2
+                    else "skv_miss.delta_burst"
+                )
+                return None
+            _count_anchor(
+                "fullrefresh.head_shift" if common < plen // 2
+                else "fullrefresh.delta_burst"
+            )
+            R = Rf
+            start = 0
+        else:
+            start = max(0, min(common, plen - 1), plen - (R - 1))
         rows = list(range(start, plen))
         tok = np.full(R, self.tokenizer.eot, np.int32)
         pos = np.full(R, Wc - 1, np.int32)  # scratch padding
