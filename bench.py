@@ -53,6 +53,9 @@ SERVING_PREFIX_CAP = 96
 SERVING_PLEN = 90
 ANCHOR_EVERY = 15.0      # ticks between full re-anchors (evict block = 15 s,
                          # the production default: audio_max_len/2)
+LATENCY_P50_BUDGET_S = 0.5  # BASELINE.json's second clause: p50 word-emission
+                            # latency <= 500 ms; the peak picker only admits
+                            # arms whose amortized tick fits this budget
 EOT = 50257
 TS_BEGIN = 50364
 NO_SPEECH = 50362
@@ -128,10 +131,78 @@ def time_call(fn, iters=4) -> float:
     return (time.perf_counter() - t0) / iters
 
 
-#: headroom the tick/anchor programs need for their XLA temp buffers on top
-#: of the resident pools (measured: B=32 bf16 resident ~11.6 GB ran, B=40
+#: fallback headroom for the programs' XLA temp buffers when AOT memory
+#: analysis is unavailable (measured: B=32 bf16 resident ~11.6 GB ran, B=40
 #: bf16 ~13.8 GB RESOURCE_EXHAUSTed on a 15.75 GB v5e)
 _TEMP_MARGIN = 3 << 30
+#: allocator-fragmentation + host-transfer headroom on top of the compiler's
+#: exact temp figure
+_TEMP_SAFETY = 768 << 20
+
+
+def _arm_temp_bytes(dims, B: int, pool_dt, K_al: int, tail_frames: int,
+                    params) -> int | None:
+    """Exact XLA temp-buffer bytes for this pooled arm's programs (AOT
+    lowering — nothing allocates on device), max over the inc tick and the
+    whole-group anchor. The blanket _TEMP_MARGIN under-counted the B=40
+    bf16 anchor's temps in r4 (BENCH_r04: FAILED JaxRuntimeError on an arm
+    the precheck passed): temps scale with B and pool dtype, so read them
+    from the compiler the way the serving allocator's whole-group-anchor
+    guard does (alignatt._anchor_group_temp_bytes). The compile also
+    populates the persistent compile cache, so a runnable arm pays nothing
+    extra at run time. Returns None when lowering fails (fallback margin)."""
+    from whisperlivekit_tpu.streaming import alignatt as A
+
+    try:
+        sds = jax.ShapeDtypeStruct
+        p_sds = jax.tree.map(lambda x: sds(x.shape, x.dtype), params)
+        L, H, Dh = dims.n_text_layer, dims.n_text_head, dims.head_dim
+        T, d = dims.n_audio_ctx, dims.n_audio_state
+        Tp = -(-T // 128) * 128
+        Wc = SERVING_PREFIX_CAP + DECODE_STEPS + 2
+        kv = sds((L, B, H, Dh, Tp), pool_dt)
+        skv = sds((L, B, Wc, H, Dh), jnp.bfloat16)
+        stat = sds((B, K_al, T), jnp.float32)
+        i32 = lambda *s: sds(s, jnp.int32)  # noqa: E731
+        pools = (
+            sds((B, 16000 * 30), jnp.int16), kv, kv,
+            sds((B + 1, T, d), jnp.bfloat16), skv, skv, stat, stat, stat,
+            sds((B,), jnp.float32), i32(B, dims.n_text_ctx),
+        )
+        core_tail = (  # content_frames .. cif_b (bench _core_args[3:])
+            i32(B), i32(B), sds((B,), bool), i32(B),
+            sds((dims.n_vocab,), jnp.float32),
+            sds((K_al,), jnp.int32), sds((K_al,), jnp.int32),
+            sds((), jnp.int32), sds((), jnp.int32), sds((), jnp.float32),
+            sds((B,), bool), sds((d,), jnp.float32), sds((), jnp.float32),
+        )
+        skv_statics = dict(
+            dims=dims, max_steps=DECODE_STEPS, eot=EOT, ts_begin=TS_BEGIN,
+            no_speech_tok=NO_SPEECH, space_tok=SPACE,
+        )
+        t_inc = int(getattr(
+            A.alignatt_tick_inc_skv.lower(
+                p_sds, *pools,
+                i32(B), i32(B), i32(B), i32(B), i32(B),
+                i32(B, A.SKV_REFRESH_ROWS), i32(B, A.SKV_REFRESH_ROWS),
+                i32(B), *core_tail,
+                **skv_statics, tail_frames=tail_frames,
+            ).compile().memory_analysis(),
+            "temp_size_in_bytes", 0,
+        ))
+        t_anchor = int(getattr(
+            A.alignatt_tick_anchor_group.lower(
+                p_sds, *pools,
+                i32(B),                           # enc_lanes
+                i32(B, SERVING_PREFIX_CAP), i32(B), i32(B), *core_tail,
+                **skv_statics, p_max=SERVING_PREFIX_CAP,
+            ).compile().memory_analysis(),
+            "temp_size_in_bytes", 0,
+        ))
+        return max(t_inc, t_anchor)
+    except Exception as e:
+        print(f"AOT temp probe failed at B={B}: {e}", file=sys.stderr, flush=True)
+        return None
 
 
 def _hbm_limit() -> int:
@@ -172,7 +243,13 @@ def bench_model(name: str, widths, results: dict, tail_frames=384, dtypes=("bf16
     align_layers, align_heads = _align(dims, name)
     statics = _statics(dims)
 
+    # Two peaks: the unconstrained max and the latency-honest one. The
+    # north-star (BASELINE.json) has TWO clauses — streams AND p50
+    # word-emission <= 500 ms; the amortized tick latency bounds word
+    # emission (a word waits at most one tick), so the headline peak only
+    # admits arms with amortized tick <= LATENCY_P50_BUDGET_S.
     best_streams, best_B, best_lat = 0.0, 0, 0.0
+    raw_streams, raw_B, raw_lat = 0.0, 0, 0.0
     for B in widths:
       for dt_name in dtypes:
         dt = jnp.float8_e4m3fn if dt_name in ("f8", "f8d") else jnp.bfloat16
@@ -191,13 +268,18 @@ def bench_model(name: str, widths, results: dict, tail_frames=384, dtypes=("bf16
                 dims, B, dt, SERVING_PREFIX_CAP + DECODE_STEPS + 2,
                 int(align_layers.shape[0]),
             )
-            if est + _TEMP_MARGIN > _hbm_limit():
+            temp = _arm_temp_bytes(
+                dims, B, dt, int(align_layers.shape[0]), tail_frames, params
+            )
+            need = temp + _TEMP_SAFETY if temp is not None else _TEMP_MARGIN
+            if est + need > _hbm_limit():
+                tstr = f"{need / (1 << 30):.1f}G temp" if temp is not None else "temp"
                 results[f"{name}_B{B}_{dt_name}"] = (
-                    f"SKIPPED resident {est / (1 << 30):.1f}G + temp > HBM"
+                    f"SKIPPED resident {est / (1 << 30):.1f}G + {tstr} > HBM"
                 )
                 print(
                     f"{name} B={B} {dt_name}: skipped (resident "
-                    f"{est / (1 << 30):.1f}G + temp exceeds HBM budget)",
+                    f"{est / (1 << 30):.1f}G + {tstr} exceeds HBM budget)",
                     file=sys.stderr, flush=True,
                 )
                 continue
@@ -330,8 +412,11 @@ def bench_model(name: str, widths, results: dict, tail_frames=384, dtypes=("bf16
             # the headline until its transcript-quality A/B is pinned
             # (VERDICT r2 #5: "quality-gated"); rollout agreement under
             # random weights is chaotic-worst-case only.
-            if streams > best_streams and dt_name != "f8d":
-                best_streams, best_B, best_lat = streams, B, t_amort
+            if dt_name != "f8d":
+                if streams > raw_streams:
+                    raw_streams, raw_B, raw_lat = streams, B, t_amort
+                if streams > best_streams and t_amort <= LATENCY_P50_BUDGET_S:
+                    best_streams, best_B, best_lat = streams, B, t_amort
         except Exception as e:
             print(f"{name} B={B} {dt_name}: failed ({type(e).__name__})", file=sys.stderr, flush=True)
             results[f"{name}_B{B}_{dt_name}"] = f"FAILED {type(e).__name__}"
@@ -345,10 +430,14 @@ def bench_model(name: str, widths, results: dict, tail_frames=384, dtypes=("bf16
             gc.collect()
     print(
         f"{name}: peak {best_streams:.1f} streams at B={best_B} "
-        f"(p50 tick latency {best_lat*1e3:.0f} ms)",
+        f"(p50 tick latency {best_lat*1e3:.0f} ms, <= "
+        f"{LATENCY_P50_BUDGET_S*1e3:.0f} ms budget; unconstrained "
+        f"{raw_streams:.1f} at B={raw_B}, {raw_lat*1e3:.0f} ms)",
         file=sys.stderr, flush=True,
     )
     results[f"{name}_peak_streams"] = round(best_streams, 1)
+    results[f"{name}_peak_streams_unconstrained"] = round(raw_streams, 1)
+    results[f"{name}_peak_tick_ms"] = round(best_lat * 1e3, 1)
     return best_streams
 
 

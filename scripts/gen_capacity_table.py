@@ -27,6 +27,12 @@ NORTH_STAR = 64  # BASELINE.json: >=64 real-time large-v3 streams per chip
 def render(art: dict, src_name: str) -> str:
     subs = art["sub_metrics"]
     head = art["headline"]
+    # Both north-star clauses (BASELINE.json): >=64 streams AND p50
+    # word-emission <= 500 ms. bench.py's peak picker enforces the latency
+    # clause (LATENCY_P50_BUDGET_S), so `headline.value` is the
+    # latency-honest peak; the unconstrained max is reported alongside.
+    hl_tick = subs.get("large-v3_peak_tick_ms")
+    hl_raw = subs.get("large-v3_peak_streams_unconstrained")
     lines = [
         "# Capacity (generated — do not edit)",
         "",
@@ -35,13 +41,23 @@ def render(art: dict, src_name: str) -> str:
         f"Regenerate with `python scripts/gen_capacity_table.py {src_name}`.",
         "",
         f"**Headline: {head['value']} concurrent real-time large-v3 streams "
-        f"per chip** ({head['vs_baseline']}x the reference's best large-model "
+        f"per chip at <= 500 ms p50 tick latency**"
+        + (f" (amortized tick {hl_tick} ms; " if hl_tick is not None else " (")
+        + f"{head['vs_baseline']}x the reference's best large-model "
         "streaming figure — faster-whisper SimulStreaming large-v3-turbo "
         "compute-aware RTF 0.144 on H100, BASELINE.md). "
         + (
-            f"North-star (>= {NORTH_STAR} @ large-v3): **MET**."
+            f"Unconstrained peak ignoring the latency clause: "
+            f"{hl_raw} streams. "
+            if hl_raw is not None and hl_raw != head["value"]
+            else ""
+        )
+        + (
+            f"North-star (>= {NORTH_STAR} @ large-v3 AND p50 <= 500 ms): "
+            "**MET**."
             if head["value"] >= NORTH_STAR
-            else f"North-star (>= {NORTH_STAR} @ large-v3): **NOT MET**."
+            else f"North-star (>= {NORTH_STAR} @ large-v3 AND p50 <= 500 ms): "
+            "**NOT MET**."
         ),
         "",
         "| model | B | pool | inc tick | anchor | amortized | streams |",
@@ -51,6 +67,10 @@ def render(art: dict, src_name: str) -> str:
     for key, v in subs.items():
         if key.endswith("_peak_streams"):
             peaks.append((key[: -len("_peak_streams")], v))
+            continue
+        if key.endswith("_peak_streams_unconstrained") or key.endswith(
+            "_peak_tick_ms"
+        ):
             continue
         model, Bs, dt = key.rsplit("_", 2)
         if not isinstance(v, dict):
@@ -63,7 +83,12 @@ def render(art: dict, src_name: str) -> str:
         )
     lines.append("")
     for model, v in peaks:
-        lines.append(f"- {model} peak: **{v} streams**")
+        tick = subs.get(f"{model}_peak_tick_ms")
+        raw = subs.get(f"{model}_peak_streams_unconstrained")
+        extra = f" (amortized tick {tick} ms)" if tick is not None else ""
+        if raw is not None and raw != v:
+            extra += f"; unconstrained {raw}"
+        lines.append(f"- {model} peak @ <= 500 ms p50: **{v} streams**{extra}")
     lines += [
         "",
         "Capacity model: streams = B / amortized tick time; one tick consumes "
@@ -78,7 +103,10 @@ def render(art: dict, src_name: str) -> str:
         "History: r1 24.9 -> r2 73.5 -> r3 58.9 (self-KV pool sized to the "
         "top prefix bucket regressed the tick and OOM'd B=32; see "
         "docs/perf/probe_skv_width.json) -> r4 re-won with the "
-        "serving-prefix-cap sizing fix.",
+        "serving-prefix-cap sizing fix (79.9 unconstrained at B=48, 601 ms "
+        "tick — over the latency budget) -> r5 headline is the "
+        "latency-constrained peak (bench.py enforces the 500 ms clause in "
+        "peak selection).",
     ]
     return "\n".join(lines) + "\n"
 

@@ -26,7 +26,8 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
-async def run_point(model: str, policy: str, pairs, speed: float) -> dict:
+async def run_point(model: str, policy: str, pairs, speed: float,
+                    exact: bool = False) -> dict:
     from whisperlivekit_tpu.harness.harness import TestHarness, reset_engine_cache
     from whisperlivekit_tpu.harness.wer import compute_wer
 
@@ -36,7 +37,8 @@ async def run_point(model: str, policy: str, pairs, speed: float) -> dict:
     wers = []
     for wav, txt in pairs:
         async with TestHarness(
-            model_size=model, backend_policy=policy, lan="en", log_level="ERROR"
+            model_size=model, backend_policy=policy, lan="en", log_level="ERROR",
+            incremental_encode=not exact,
         ) as h:
             t0 = time.perf_counter()
             await h.feed(str(wav), speed=speed)
@@ -50,6 +52,7 @@ async def run_point(model: str, policy: str, pairs, speed: float) -> dict:
         "model": model,
         "policy": policy,
         "aware": speed > 0,
+        "encode": "exact" if exact else "incremental",
         "rtf": round(total_proc / total_audio, 4) if total_audio else None,
         "wer": round(sum(wers) / len(wers), 4) if wers else None,
         "n_samples": len(pairs),
@@ -62,6 +65,12 @@ def main() -> int:
     ap.add_argument("--models", default="base")
     ap.add_argument("--policies", default="simulstreaming,localagreement,windowed")
     ap.add_argument("--aware", default="both", choices=("both", "true", "false"))
+    ap.add_argument("--compare-exact", action="store_true",
+                    help="run each simulstreaming point twice — the default "
+                    "incremental tail-encode vs the exact full-window "
+                    "re-encode (incremental_encode=False) — the one-command "
+                    "real-weight inc-vs-exact WER A/B "
+                    "(docs/perf/INC_ENCODE_ADJUDICATION.md)")
     ap.add_argument("--out", default="scatter.json")
     args = ap.parse_args()
 
@@ -79,9 +88,15 @@ def main() -> int:
     for model in args.models.split(","):
         for policy in args.policies.split(","):
             for speed in speeds:
-                point = asyncio.run(run_point(model.strip(), policy.strip(), pairs, speed))
-                results.append(point)
-                print(json.dumps(point), file=sys.stderr)
+                modes = (False,)
+                if args.compare_exact and policy.strip() == "simulstreaming":
+                    modes = (False, True)
+                for exact in modes:
+                    point = asyncio.run(run_point(
+                        model.strip(), policy.strip(), pairs, speed, exact=exact
+                    ))
+                    results.append(point)
+                    print(json.dumps(point), file=sys.stderr)
 
     Path(args.out).write_text(json.dumps({"results": results}, indent=2))
     print(f"wrote {args.out} ({len(results)} points)")

@@ -247,6 +247,7 @@ def save_params(params, dims_name: str, path: Path) -> None:
 def load_params(path: str):
     """Rebuild the params pytree (bf16) from an npz written by save_params."""
     import jax.numpy as jnp
+    import ml_dtypes
 
     z = np.load(path)
     dims_name = str(z["__dims__"])
@@ -256,9 +257,14 @@ def load_params(path: str):
             continue
         node = tree
         parts = key.split("/")
+        a = z[key]
+        if a.dtype.kind == "V" and a.dtype.itemsize == 2:
+            # np.savez round-trips bf16 as a raw 2-byte void dtype (numpy
+            # has no native bfloat16); reinterpret via ml_dtypes
+            a = a.view(ml_dtypes.bfloat16)
         for p in parts[:-1]:
             node = node.setdefault(p, {})
-        node[parts[-1]] = jnp.asarray(z[key], jnp.bfloat16)
+        node[parts[-1]] = jnp.asarray(a, jnp.bfloat16)
     return tree, dims_name
 
 

@@ -202,6 +202,38 @@ def test_group_coherent_batching(engine):
     assert [p.ti.xkv_gi for p in carry2] == [None]
 
 
+def test_group_coherent_under_overload(engine):
+    """When the earliest-deadline group alone exceeds max_lanes, the window
+    still serves ONLY that group (truncated to max_lanes) instead of a
+    deadline-sorted mixed batch — overload is exactly when one-program-per-
+    group waste hurts most (ADVICE r4 medium)."""
+    import types
+
+    from whisperlivekit_tpu.engine.scheduler import BatchScheduler, _Pending
+
+    async def main():
+        sched = BatchScheduler(engine, max_lanes=2, window_s=0.01, inline=False)
+        sched._queue = asyncio.Queue()
+        # group 1 has 3 pending lanes (> max_lanes=2) incl. the earliest
+        # deadline; group 0 lanes interleave by deadline
+        for i, gi in enumerate([1, 0, 1, 0, 1]):
+            sched._queue.put_nowait(_Pending(
+                None, types.SimpleNamespace(xkv_gi=gi), None,
+                deadline=float(i), enqueued=0.0,
+            ))
+        first = await sched._gather_group()
+        carry_after_first = list(sched._carry)
+        return first, carry_after_first
+
+    first, carry = asyncio.run(main())
+    assert [p.ti.xkv_gi for p in first] == [1, 1]          # coherent, truncated
+    assert [p.deadline for p in first] == [0.0, 2.0]       # earliest of group 1
+    # the overflow lane (group 1, deadline 4.0) and group 0's lanes carried
+    assert sorted((p.ti.xkv_gi, p.deadline) for p in carry) == [
+        (0, 1.0), (0, 3.0), (1, 4.0),
+    ]
+
+
 def test_lane_cap_scales_with_model(engine):
     from whisperlivekit_tpu.engine.scheduler import _auto_lane_cap
     from whisperlivekit_tpu.models.whisper.dims import MODEL_DIMS

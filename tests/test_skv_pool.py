@@ -377,6 +377,38 @@ def test_tail_keep_hysteresis_first_epoch(engine):
         ti = ti2
 
 
+def test_cap_head_drop_preserves_sot_sequence(engine):
+    """When the cap head-drop reaches past the (empty) context into the sot
+    sequence, the initial tokens must survive at the head — a prompt without
+    sot/lang/task is malformed and the refresh plan's slot-0 'sot row' would
+    re-decode an arbitrary committed token, skewing no_speech_p (ADVICE r4
+    low, alignatt.py cap-trim)."""
+    cap = engine.serving_prefix_cap
+    pool, enc_pool, alloc, sessions = _wire(engine, n=1, group_width=1)
+    s = sessions[0]
+    assert s.context.is_empty()
+    s.committed_tokens = [[600 + i for i in range(2 * cap)]]
+    s.insert_audio(_audio(2.0))
+    ti = s.prepare_tick(False)
+    assert ti is not None
+    assert len(ti.prefix_ids) <= cap
+    tok = engine.tokenizer
+    # sot sequence intact at the head, sot_index points at the real sot
+    n_init = len(s.initial_tokens)
+    assert ti.prefix_ids[:n_init] == list(s.initial_tokens)
+    assert ti.prefix_ids[ti.sot_index] == tok.sot
+    # the newest committed tokens survive the cut
+    assert ti.prefix_ids[-1] == s.committed_tokens[0][-1]
+    # head stays fixed across a few more commits (hysteresis) so the
+    # refresh plan keeps hitting
+    s.skv_tokens = list(ti.prefix_ids)
+    s.committed_tokens[0].append(50)
+    s.insert_audio(_audio(0.5))
+    ti2 = s.prepare_tick(False)
+    assert ti2.prefix_ids[: len(ti.prefix_ids)] == ti.prefix_ids
+    assert s._skv_refresh_plan(ti2) is not None
+
+
 def test_full_refresh_rows_match_anchor_prefill(engine):
     """The full-width refresh rebuilds the self-KV rows through decode()'s
     scatter-before-attend, so the rebuilt rows must match what an anchor
@@ -386,25 +418,119 @@ def test_full_refresh_rows_match_anchor_prefill(engine):
     s = sessions[0]
     _tick_all(engine, sessions[:1], pool, enc_pool, xkv, lambda i: _audio(2.0))
     g = xkv.groups[0]
-    # shift the head: drop the first committed segment's first 3 tokens
-    if s.committed_tokens and len(s.committed_tokens[0]) > 4:
-        s.committed_tokens[0] = s.committed_tokens[0][3:]
+    # deterministic head shift: replace the committed window wholesale so
+    # the mirror/prefix delta exceeds the slim refresh reach (the previous
+    # guarded 3-token drop silently no-oped under the random-weight engine,
+    # which commits <=4 tokens -> the parity check below never ran)
+    s.committed_tokens = [[700 + i for i in range(3 * A.SKV_REFRESH_ROWS)]]
     s.insert_audio(_audio(0.5, seed=9))
+    before = dict(A.ANCHOR_REASONS)
     ti = s.prepare_tick(False)
     assert ti.enc_mode == "inc"
     assert len(ti.skv_refresh_tokens) > A.SKV_REFRESH_ROWS  # full plan
+    grew = {
+        k: A.ANCHOR_REASONS[k] - before.get(k, 0)
+        for k in A.ANCHOR_REASONS
+        if A.ANCHOR_REASONS[k] != before.get(k, 0)
+    }
+    assert any(k.startswith("fullrefresh.") for k in grew), grew
     plen = len(ti.prefix_ids)
     A.run_tick_batch(engine, [ti], engine.tokenizer,
                      pool=pool, enc_pool=enc_pool, xkv=xkv)
     refreshed_k = np.asarray(g.skv_k[:, 0, :plen])
 
-    # twin group: force the same prefix through the ANCHOR prefill
-    s.skv_tokens = None
-    s._enc_key = None
-    ti2 = s.prepare_tick(False)
-    assert ti2.enc_mode == "anchor"
-    assert list(ti2.prefix_ids) == list(ti.prefix_ids)
-    A.run_tick_batch(engine, [ti2], engine.tokenizer,
-                     pool=pool, enc_pool=enc_pool, xkv=xkv)
-    anchored_k = np.asarray(g.skv_k[:, 0, :plen])
+    # reference: a straight full-prefix prefill (M.decode, pos=0) against
+    # the SAME pool cross-KV the refresh run read. (The production anchor
+    # path re-encodes the window from scratch, so its cross-KV differs from
+    # the inc splice by the incremental-encode approximation — that delta
+    # is adjudicated in docs/perf/INC_ENCODE_ADJUDICATION.md; THIS test
+    # pins the refresh-plan scatter layout, so both arms must share xkv.)
+    dims = engine.dims
+    Wc = g.skv_width
+    xkv_ref = M.CrossKV(k=g.k[:, 0:1], v=g.v[:, 0:1])
+    cache = M.init_cache(dims, 1, dtype=g.skv_k.dtype, width=Wc)
+    prefix = jnp.asarray(np.asarray(ti.prefix_ids, np.int32))[None]
+    Tp = g.k.shape[-1]
+    _, _, ref_cache = M.decode(
+        engine.params, prefix, jnp.zeros((1,), jnp.int32), xkv_ref, cache,
+        dims, xkv_transposed=True,
+        t_valid=dims.n_audio_ctx if Tp > dims.n_audio_ctx else None,
+    )
+    anchored_k = np.asarray(ref_cache.k[:, 0, :plen])
     np.testing.assert_allclose(refreshed_k, anchored_k, rtol=2e-4, atol=2e-5)
+
+
+def _snap_group(pool, enc_pool, g):
+    vals = (pool.pool, enc_pool.pool, g.k, g.v, g.skv_k, g.skv_v,
+            g.asum, g.asq, g.alast, g.acount, g.tok)
+    return tuple(jnp.asarray(np.asarray(x)) for x in vals)
+
+
+def _restore_group(pool, enc_pool, g, snap):
+    (pool.pool, enc_pool.pool, g.k, g.v, g.skv_k, g.skv_v,
+     g.asum, g.asq, g.alast, g.acount, g.tok) = tuple(
+        jnp.asarray(np.asarray(x)) for x in snap
+    )
+
+
+def test_mixed_slim_full_plans_match_solo(engine):
+    """A group tick mixing a slim plan and a full plan (the common
+    production case: one lane cap-trims while the other steadily commits)
+    runs at the full width with the slim plan PADDED into it
+    (_dispatch_group_xkv_inc scratch-row padding). Each lane's decisions
+    must match its solo run from the same pool state."""
+    pool, enc_pool, xkv, sessions = _wire(engine)
+    _tick_all(engine, sessions, pool, enc_pool, xkv, lambda i: _audio(2.0, seed=i))
+    g = xkv.groups[0]
+    s0, s1 = sessions
+    # lane 0: wholesale head shift -> full plan
+    s0.committed_tokens = [[700 + i for i in range(3 * A.SKV_REFRESH_ROWS)]]
+    s0.insert_audio(_audio(0.5, seed=9))
+    # lane 1: steady state, new audio only -> slim plan
+    s1.insert_audio(_audio(0.5, seed=11))
+    ti0 = s0.prepare_tick(False)
+    ti1 = s1.prepare_tick(False)
+    assert ti0.enc_mode == "inc" and ti1.enc_mode == "inc"
+    assert len(ti0.skv_refresh_tokens) > A.SKV_REFRESH_ROWS   # full
+    assert len(ti1.skv_refresh_tokens) == A.SKV_REFRESH_ROWS  # slim
+    tok = engine.tokenizer
+
+    snap = _snap_group(pool, enc_pool, g)
+    mixed = A.run_tick_batch(
+        engine, [ti0, ti1], tok, pool=pool, enc_pool=enc_pool, xkv=xkv
+    )
+    mixed_k = np.asarray(g.skv_k).copy()
+
+    _restore_group(pool, enc_pool, g, snap)
+    solo0 = A.run_tick_batch(
+        engine, [ti0], tok, pool=pool, enc_pool=enc_pool, xkv=xkv
+    )[0]
+    solo0_k = np.asarray(g.skv_k[:, ti0.xkv_slot]).copy()
+
+    _restore_group(pool, enc_pool, g, snap)
+    solo1 = A.run_tick_batch(
+        engine, [ti1], tok, pool=pool, enc_pool=enc_pool, xkv=xkv
+    )[0]
+    solo1_k = np.asarray(g.skv_k[:, ti1.xkv_slot]).copy()
+
+    for got, want in ((mixed[0], solo0), (mixed[1], solo1)):
+        assert got.new_tokens[: got.n_keep] == want.new_tokens[: want.n_keep]
+        assert got.n_keep == want.n_keep
+        assert got.reason == want.reason
+        np.testing.assert_allclose(got.no_speech_p, want.no_speech_p, atol=1e-5)
+    # the rebuilt/updated self-KV rows must match the solo runs too (the
+    # padded rows park on the scratch slot and never corrupt a legit row).
+    # Compare only LIVE rows [0, plen + n_keep): rows past the kept tokens
+    # are dropped-loop scratch (the while_loop runs more iterations when the
+    # other lane is active, so a stopped lane's post-stop writes differ) and
+    # the next tick's refresh plan re-decodes any row it will consume.
+    live0 = len(ti0.prefix_ids) + mixed[0].n_keep
+    live1 = len(ti1.prefix_ids) + mixed[1].n_keep
+    np.testing.assert_allclose(
+        mixed_k[:, ti0.xkv_slot, :live0], solo0_k[:, :live0],
+        rtol=2e-4, atol=2e-5,
+    )
+    np.testing.assert_allclose(
+        mixed_k[:, ti1.xkv_slot, :live1], solo1_k[:, :live1],
+        rtol=2e-4, atol=2e-5,
+    )

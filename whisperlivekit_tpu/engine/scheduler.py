@@ -302,7 +302,11 @@ class BatchScheduler:
             key0 = batch[0].ti.xkv_gi
             same = [p for p in batch if p.ti.xkv_gi == key0]
             rest = [p for p in batch if p.ti.xkv_gi != key0]
-            if rest and len(same) <= self.max_lanes:
+            if rest:
+                # stay coherent even under overload (len(same) > max_lanes):
+                # the truncation below keeps same[:max_lanes] — all from the
+                # earliest-deadline group — and the overflow carries with the
+                # other groups' lanes (EDF order preserved by the next sort)
                 self._carry = rest + self._carry
                 batch = same
         if len(batch) > self.max_lanes:

@@ -63,6 +63,13 @@ def loss_fn(params, mel, tokens, dims: ModelDimensions, align=None,
     ce = (nll * mask).sum() / jnp.maximum(mask.sum(), 1.0)
     if align is None:
         return ce
+    if align_lo is None or align_hi is None:
+        raise ValueError(
+            "align supervision requires align_lo/align_hi frame windows "
+            "([S] int32, shared across the batch — every row must carry the "
+            "same alignment schedule, as the synthetic aligned data does; "
+            "per-row alignments need a [B,S] extension)"
+        )
     # aprob [K,B,S,T]: probability mass inside the supervised window
     T_enc = aprob.shape[-1]
     t_idx = jnp.arange(T_enc, dtype=jnp.int32)[None, :]
