@@ -51,7 +51,8 @@ SR = 16000
 
 
 def build_engine(model: str, frame_threshold: int, xkv_dtype: str,
-                 decoder_dtype: str = "bf16", weights: str = None):
+                 decoder_dtype: str = "bf16", weights: str = None,
+                 enc_tail_frames: int = 0):
     import jax
     import jax.numpy as jnp
 
@@ -85,6 +86,7 @@ def build_engine(model: str, frame_threshold: int, xkv_dtype: str,
         language="en",
         frame_threshold=frame_threshold,
         xkv_cache_dtype=xkv_dtype,
+        enc_tail_frames=enc_tail_frames,
     )
     # model_name routes to the published alignment-head table (10 pairs for
     # large-v3). Omitting it falls back to "upper half of layers, all heads"
@@ -144,12 +146,24 @@ def _tok_agreement(a, b):
 
 
 def run_model(model: str, minutes: float, frame_threshold: int, xkv_dtype: str,
-              enc_every: int, weights: str = None, audio_kind: str = "speech") -> dict:
+              enc_every: int, weights: str = None, audio_kind: str = "speech",
+              reset_every_s: int = 0, enc_tail_frames: int = 0) -> dict:
+    """reset_every_s > 0 re-creates all three sessions every N seconds.
+    Structured checkpoints are trained on fixed-format 30 s windows
+    (events on a 1 s cadence from window start, fresh prompt); a
+    free-scrolling session leaves that format after the first eviction and
+    the decode drifts into repetition IN BOTH ARMS — measured: exact-arm
+    truth agreement 0.13 free-scrolling vs in-format windows. Resetting at
+    the training window length keeps every window in-format, so per-mode
+    truth agreement measures the encode approximation, not format drift.
+    The within-window streaming policy (partial-window commits) still
+    applies to both arms equally."""
     import jax.numpy as jnp
 
     from whisperlivekit_tpu.streaming.alignatt import AlignAttSession, run_tick_batch
 
-    engine = build_engine(model, frame_threshold, xkv_dtype, weights=weights)
+    engine = build_engine(model, frame_threshold, xkv_dtype, weights=weights,
+                          enc_tail_frames=enc_tail_frames)
     tok = engine.tokenizer
     s_inc = make_inc_session(engine)          # production incremental mode
     s_exact = AlignAttSession(engine)         # legacy full-window (exact)
@@ -170,6 +184,10 @@ def run_model(model: str, minutes: float, frame_threshold: int, xkv_dtype: str,
         gen = lambda sec, t: speech_like(sec, seed=7, t0=t)
     t0 = time.perf_counter()
     for i in range(n_ticks):
+        if reset_every_s and i and i % reset_every_s == 0:
+            s_inc = make_inc_session(engine)
+            s_exact = AlignAttSession(engine)
+            s_anchor = make_inc_session(engine)
         audio = gen(1.0, float(i))
         rows = {}
         for name, s in (("inc", s_inc), ("exact", s_exact), ("anchor", s_anchor)):
@@ -241,6 +259,8 @@ def run_model(model: str, minutes: float, frame_threshold: int, xkv_dtype: str,
         "frame_threshold": frame_threshold,
         "weights": weights,
         "audio": audio_kind,
+        "reset_every_s": reset_every_s or None,
+        "enc_tail_frames": enc_tail_frames or "default",
         "xkv_dtype": xkv_dtype if s_inc.xkv_alloc is not None else None,
         "n_ticks_compared": len(attend_inc),
         "vs_truth": truth,
@@ -278,7 +298,7 @@ def run_model(model: str, minutes: float, frame_threshold: int, xkv_dtype: str,
 
 def run_decoder_ab(model: str, minutes: float, frame_threshold: int,
                    xkv_dtype: str, weights: str = None,
-                   audio_kind: str = "speech") -> dict:
+                   audio_kind: str = "speech", reset_every_s: int = 0) -> dict:
     """Quality gate for the f8d capacity arm (bench.py): two PRODUCTION
     incremental sessions fed identical audio — one with bf16 decoder
     linears, one with quantize_decoder_f8 weights — compared on the gate
@@ -303,6 +323,9 @@ def run_decoder_ab(model: str, minutes: float, frame_threshold: int,
     attend = {"bf16": [], "f8": []}
     t0 = time.perf_counter()
     for i in range(n_ticks):
+        if reset_every_s and i and i % reset_every_s == 0:
+            arms = {name: (eng, make_inc_session(eng))
+                    for name, (eng, _) in arms.items()}
         audio = gen(1.0, float(i))
         for name, (eng, s) in arms.items():
             s.insert_audio(audio.copy())
@@ -322,13 +345,29 @@ def run_decoder_ab(model: str, minutes: float, frame_threshold: int,
     sm = difflib.SequenceMatcher(a=toks["bf16"], b=toks["f8"], autojunk=False)
     matched = sum(bl.size for bl in sm.get_matching_blocks())
     denom = max(len(toks["bf16"]), len(toks["f8"]), 1)
+    truth = None
+    if audio_kind == "events":
+        from train_structured_weights import events_words, word_vocab
+
+        words, _ = word_vocab(tok)
+        ref_toks = []
+        for w in events_words(7, 0.0, float(n_ticks), words):
+            ref_toks.extend(tok.encode(" " + w))
+        truth = {
+            "bf16_vs_truth_agreement": round(
+                _tok_agreement(toks["bf16"], ref_toks), 4),
+            "f8_vs_truth_agreement": round(
+                _tok_agreement(toks["f8"], ref_toks), 4),
+        }
     return {
         "comparison": "decoder_bf16_vs_f8",
         "model": model,
         "minutes": minutes,
         "weights": weights,
         "audio": audio_kind,
+        "reset_every_s": reset_every_s or None,
         "xkv_dtype": xkv_dtype,
+        "vs_truth": truth,
         "n_ticks": len(pairs),
         "gate_flip_rate": round(flips / max(len(pairs), 1), 4),
         "committed_tokens": {
@@ -364,6 +403,15 @@ def main():
     ap.add_argument("--decoder-ab", action="store_true",
                     help="run the decoder bf16-vs-f8 quality gate instead "
                     "of the inc-vs-exact comparison")
+    ap.add_argument("--enc-tail-frames", type=int, default=0,
+                    help="inc-mode tail re-encode length (enc frames); "
+                    "0 = model default. The quality dial: a longer tail "
+                    "shrinks the inc approximation at linear encode cost")
+    ap.add_argument("--reset-every", type=int, default=0,
+                    help="re-create sessions every N seconds (structured "
+                    "checkpoints are trained on fixed 30 s windows; "
+                    "pass 30 to keep every window in-format so truth "
+                    "agreement measures the encode mode, not format drift)")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -376,13 +424,16 @@ def main():
                 print(f"[ab] {m}: decoder bf16 vs f8, {args.minutes} min ...",
                       flush=True)
                 r = run_decoder_ab(m, args.minutes, ft, args.xkv_dtype,
-                                   weights=args.weights, audio_kind=audio_kind)
+                                   weights=args.weights, audio_kind=audio_kind,
+                                   reset_every_s=args.reset_every)
             else:
                 print(f"[ab] {m}: {args.minutes} min, ft={ft} "
                       f"xkv={args.xkv_dtype} audio={audio_kind} ...", flush=True)
                 r = run_model(m, args.minutes, ft, args.xkv_dtype,
                               args.enc_every, weights=args.weights,
-                              audio_kind=audio_kind)
+                              audio_kind=audio_kind,
+                              reset_every_s=args.reset_every,
+                              enc_tail_frames=args.enc_tail_frames)
             results.append(r)
             print(json.dumps(r), flush=True)
     out = {"runs": results}

@@ -280,6 +280,12 @@ def save_native(params: dict, dims: ModelDimensions, path: str | Path) -> None:
 
     path = Path(path).resolve()
     ckptr = ocp.PyTreeCheckpointer()
+    # orbax refuses to overwrite; converting twice to the same destination
+    # (or retraining into a previous run's --out-native) should replace it
+    if (path / "params").exists():
+        import shutil
+
+        shutil.rmtree(path / "params")
     ckptr.save(path / "params", params)
     (path / "dims.json").write_text(json.dumps(dataclasses.asdict(dims)))
 
