@@ -354,6 +354,14 @@ def main():
 
     sustained = [r["n_admitted"] for r in results if r["keep_up"]
                  and not r["n_sessions_without_output"]]
+    # keep_up is a drift criterion (lag not growing) — a run can "keep up"
+    # while serving 20 s behind real time if it is slowly catching up after
+    # rampup. The latency-honest count additionally requires the session-
+    # clock word-emission p50 to meet the north-star budget (<= 500 ms,
+    # BASELINE.json's second clause).
+    rt = [r["n_admitted"] for r in results if r["keep_up"]
+          and not r["n_sessions_without_output"]
+          and r["word_emission_p50_ms"] <= 500.0]
     summary = {
         "model": args.model,
         "xkv_dtype": args.xkv_dtype,
@@ -361,6 +369,7 @@ def main():
         "max_steps": args.max_steps,
         "anchor_cohorts": args.anchor_cohorts,
         "max_sustained_streams": max(sustained) if sustained else 0,
+        "max_sustained_streams_at_500ms_p50": max(rt) if rt else 0,
         "runs": results,
     }
     print(json.dumps(summary))
