@@ -50,6 +50,10 @@ PREFIX_BUCKET = 64
 # anchors prefill at the 96 bucket with a near-full prefix (steady-state
 # worst case: context + sot + ~1 evict-block of committed tokens)
 SERVING_PREFIX_CAP = 96
+SERVING_COMMIT_BUDGET = 16  # pool-width slack past the cap (config
+                            # serving_commit_budget default): mid-epoch
+                            # commits grow the prefix instead of trimming
+                            # the head; widths here must match production
 SERVING_PLEN = 90
 ANCHOR_EVERY = 15.0      # ticks between full re-anchors (evict block = 15 s,
                          # the production default: audio_max_len/2)
@@ -159,7 +163,7 @@ def _arm_temp_bytes(dims, B: int, pool_dt, K_al: int, tail_frames: int,
         L, H, Dh = dims.n_text_layer, dims.n_text_head, dims.head_dim
         T, d = dims.n_audio_ctx, dims.n_audio_state
         Tp = -(-T // 128) * 128
-        Wc = SERVING_PREFIX_CAP + DECODE_STEPS + 2
+        Wc = SERVING_PREFIX_CAP + SERVING_COMMIT_BUDGET + DECODE_STEPS + 2
         kv = sds((L, B, H, Dh, Tp), pool_dt)
         skv = sds((L, B, Wc, H, Dh), jnp.bfloat16)
         stat = sds((B, K_al, T), jnp.float32)
@@ -265,7 +269,8 @@ def bench_model(name: str, widths, results: dict, tail_frames=384, dtypes=("bf16
             # this configuration), not run to a destructive OOM that poisons
             # the process allocator for later arms
             est = _arm_resident_bytes(
-                dims, B, dt, SERVING_PREFIX_CAP + DECODE_STEPS + 2,
+                dims, B, dt,
+                SERVING_PREFIX_CAP + SERVING_COMMIT_BUDGET + DECODE_STEPS + 2,
                 int(align_layers.shape[0]),
             )
             temp = _arm_temp_bytes(
@@ -332,7 +337,7 @@ def bench_model(name: str, widths, results: dict, tail_frames=384, dtypes=("bf16
                 # every step (scan restacking), so width is ~linear in tick
                 # time — top-bucket sizing (266 rows) was the r3 capacity
                 # regression (docs/perf/probe_skv_width.json)
-                Wc = SERVING_PREFIX_CAP + DECODE_STEPS + 2
+                Wc = SERVING_PREFIX_CAP + SERVING_COMMIT_BUDGET + DECODE_STEPS + 2
                 sshape = (dims.n_text_layer, B, Wc, dims.n_text_head, dims.head_dim)
                 K_al = int(align_layers.shape[0])
                 state = {

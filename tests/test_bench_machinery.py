@@ -113,7 +113,8 @@ def test_arm_temp_probe_matches_aot_readout():
     L, H, Dh = dims.n_text_layer, dims.n_text_head, dims.head_dim
     T, d = dims.n_audio_ctx, dims.n_audio_state
     Tp = -(-T // 128) * 128
-    Wc = bench.SERVING_PREFIX_CAP + bench.DECODE_STEPS + 2
+    Wc = (bench.SERVING_PREFIX_CAP + bench.SERVING_COMMIT_BUDGET
+          + bench.DECODE_STEPS + 2)
     kv = sds((L, B, H, Dh, Tp), jnp.bfloat16)
     skv = sds((L, B, Wc, H, Dh), jnp.bfloat16)
     stat = sds((B, K, T), jnp.float32)

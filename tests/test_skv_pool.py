@@ -292,7 +292,9 @@ def test_serving_prefix_cap_bounds_pool_and_prefix(engine):
     cap = engine.serving_prefix_cap
     assert cap == 96  # auto default with xkv_cache on
     xkv = A.XKVAllocator.for_engine(engine, 2)
-    assert xkv.skv_width == cap + engine.cfg.max_steps + 2
+    assert xkv.skv_width == (
+        cap + engine.serving_commit_budget + engine.cfg.max_steps + 2
+    )
     assert xkv.skv_width < engine.prefix_buckets[-1] + engine.cfg.max_steps + 2
 
     pool, enc_pool, alloc, sessions = _wire(engine, n=1, group_width=1)
@@ -407,6 +409,68 @@ def test_cap_head_drop_preserves_sot_sequence(engine):
     ti2 = s.prepare_tick(False)
     assert ti2.prefix_ids[: len(ti.prefix_ids)] == ti.prefix_ids
     assert s._skv_refresh_plan(ti2) is not None
+
+
+def test_commit_budget_defers_trims_to_anchor(engine):
+    """Mid-epoch commits past the cap must GROW the prefix into the commit
+    budget instead of trimming the head: a head trim shifts every row's
+    position, misses the slim refresh plan, and upgrades the whole group
+    tick to the padded full-width program (measured e2e n=24:
+    fullrefresh.head_shift 829/265 inc ticks -> group ticks ran 2.5x the
+    model cost). Trims align with ticks that pay a full prefill anyway."""
+    cap = engine.serving_prefix_cap
+    budget = engine.serving_commit_budget
+    assert budget > 0
+    pool, enc_pool, alloc, sessions = _wire(engine, n=1, group_width=1)
+    s = sessions[0]
+    # establish a mirror at ~the cap (first tick anchors, deep => <= cap)
+    s.committed_tokens = [[600 + i for i in range(cap + 5)]]
+    s.insert_audio(_audio(2.0))
+    ti = s.prepare_tick(False)
+    assert len(ti.prefix_ids) <= cap
+    A.run_tick_batch(engine, [ti], engine.tokenizer,
+                     pool=pool, enc_pool=enc_pool, xkv=alloc)
+    s.skv_tokens = list(ti.prefix_ids)
+    base_plen = len(ti.prefix_ids)
+    # mid-epoch commits: the head stays put (persistent drop) while the
+    # prefix grows — through AND past the cap into the budget slack — and
+    # the refresh plan stays slim the whole way; only when commits exhaust
+    # the budget does the head move once (one non-slim refresh), then the
+    # hysteresis holds again
+    grew = False
+    head_moves = 0
+    n_steps = 2 * budget + 2 * cap // 3
+    # when the budget exhausts, the re-drop backs off a hysteresis block —
+    # so the head moves at most once per (budget + block) commits
+    blk = min(32, max(8, (cap + budget) // 4))
+    for step in range(n_steps):
+        s.committed_tokens[0].append(50 + step)
+        s.insert_audio(_audio(0.1))  # small: stay below the eviction window
+        # fake the device-tick enc sync (finish_tick's enc_commit): this
+        # test pins the host trim/plan scheduling, not the encoder
+        s._enc_key = (s._audio_gen, s.evicted_samples)
+        s._enc_synced_frames = int(s.segments_len() * 16000) // 320
+        ti2 = s.prepare_tick(False)
+        assert ti2.enc_mode == "inc", (step, ti2.enc_mode)
+        plen = len(ti2.prefix_ids)
+        if plen > cap:
+            grew = True
+            assert plen <= cap + budget
+        if ti2.prefix_ids[: len(s.skv_tokens)] == s.skv_tokens[:plen]:
+            plan = s._skv_refresh_plan(ti2)
+            assert plan is not None
+            assert len(plan[0]) == A.SKV_REFRESH_ROWS, (
+                "head-stable commit forced a non-slim refresh"
+            )
+        else:
+            head_moves += 1
+        s.skv_tokens = list(ti2.prefix_ids)
+    assert grew, "prefix never grew past the cap — budget not applied"
+    allowed = -(-n_steps // (budget + blk))
+    assert head_moves <= allowed, (
+        f"head moved {head_moves}x in {n_steps} commits "
+        f"(> {allowed} budget windows)"
+    )
 
 
 def test_full_refresh_rows_match_anchor_prefill(engine):

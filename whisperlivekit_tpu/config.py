@@ -147,6 +147,22 @@ class WLKConfig:
                                              # lets context reach ~428 tokens
                                              # (align_att_base.py:100-113) at
                                              # per-session-decode cost.
+    serving_commit_budget: int = 16          # extra self-KV pool rows past the
+                                             # prefix cap: mid-epoch commits grow
+                                             # the prefix into this slack instead
+                                             # of trimming the head every ~block,
+                                             # so trims (which shift every row's
+                                             # position and force the padded
+                                             # full-width refresh program for the
+                                             # whole lane group) align with the
+                                             # eviction anchors that pay a full
+                                             # prefill anyway. Costs pool width
+                                             # (~1.4 ms/row on the B=32 f8 tick,
+                                             # probe_skv_width.json) — measured
+                                             # e2e n=24: inc group ticks averaged
+                                             # 2.5x the model cost because ~3
+                                             # lanes/tick had trimmed. 0 = legacy
+                                             # trim-at-cap behavior.
     max_decode_steps: int = 8                # per-tick decode budget (static device
                                              # loop bound). Exhaustion keeps tokens
                                              # and the next tick continues; final

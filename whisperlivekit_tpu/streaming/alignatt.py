@@ -163,6 +163,19 @@ class AlignAttConfig:
                                  # capacity cost of wider caps.
                                  # 0 = auto: 96 when the xkv group pools are
                                  # on, uncapped otherwise.
+    serving_commit_budget: int = 16  # extra self-KV pool rows past the cap:
+                                 # mid-epoch commits grow the prefix into
+                                 # this slack instead of trimming the head
+                                 # (a head trim shifts every row's position,
+                                 # missing the slim refresh plan and forcing
+                                 # the padded full-width refresh for the
+                                 # whole group tick — measured e2e n=24:
+                                 # fullrefresh.head_shift 829/265 inc ticks,
+                                 # inflating the group tick 2.5x). Trims
+                                 # align with eviction anchors instead,
+                                 # which pay a full prefill anyway. Costs
+                                 # ~1.4 ms/row on the B=32 f8 tick
+                                 # (probe_skv_width.json linearity).
 
 
 
@@ -1292,6 +1305,16 @@ class AlignAttEngine:
         if cap == 0 and bool(cfg.xkv_cache):
             cap = 96
         self.serving_prefix_cap = min(cap, dims.n_text_ctx - 20) if cap else 0
+        # commit budget: extra pool rows past the cap so mid-epoch commits
+        # grow the prefix instead of trimming the head (head trims shift
+        # every row's position -> padded full-width refresh for the whole
+        # group tick; see AlignAttConfig.serving_commit_budget)
+        budget = max(0, int(getattr(cfg, "serving_commit_budget", 16)))
+        if self.serving_prefix_cap:
+            budget = min(
+                budget, dims.n_text_ctx - 20 - self.serving_prefix_cap
+            )
+        self.serving_commit_budget = budget if self.serving_prefix_cap else 0
 
     @staticmethod
     def _load_cif(cfg: AlignAttConfig, dims: ModelDimensions):

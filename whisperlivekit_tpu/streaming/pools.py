@@ -160,7 +160,10 @@ class XKVAllocator:
     @classmethod
     def for_engine(cls, engine: "AlignAttEngine", group_width: int, **kw) -> "XKVAllocator":
         """Allocator sized for an engine's serving programs: self-KV width =
-        serving prefix cap + step budget + 1 legit slot + 1 scratch row.
+        serving prefix cap + commit budget + step budget + 1 legit slot +
+        1 scratch row (the budget rows let mid-epoch commits grow the
+        prefix past the cap instead of trimming the head — see
+        AlignAttConfig.serving_commit_budget).
 
         The cap (not the top prefix bucket) sizes the pool: the decode loop
         copies the full pool every step (the cache rides the layer scan as
@@ -178,6 +181,7 @@ class XKVAllocator:
         return cls(
             group_width, engine.dims,
             skv_width=(engine.serving_prefix_cap or engine.prefix_buckets[-1])
+            + getattr(engine, "serving_commit_budget", 0)
             + cfg.max_steps + 2,
             align_count=int(engine.align_layers.shape[0]),
             **kw,

@@ -131,11 +131,14 @@ class TickOutputs:
 
 def _skv_full_refresh_rows(engine, skv_width: int) -> int:
     """Static width of the FULL-prefix refresh plan: slot 0 (sot row) + up
-    to serving-cap prefix rows, rounded up to a multiple of 8 so the block
-    decode keeps the flash-prefill path (decode() requires S % 8 == 0).
-    One of exactly two compiled refresh widths (the other SKV_REFRESH_ROWS),
-    so serving never compiles a fresh shape mid-stream."""
+    to (serving cap + commit budget) prefix rows — the mid-epoch prefix
+    ceiling — rounded up to a multiple of 8 so the block decode keeps the
+    flash-prefill path (decode() requires S % 8 == 0). One of exactly two
+    compiled refresh widths (the other SKV_REFRESH_ROWS), so serving never
+    compiles a fresh shape mid-stream."""
     cap = engine.serving_prefix_cap or (skv_width - engine.cfg.max_steps - 2)
+    if engine.serving_prefix_cap:
+        cap += getattr(engine, "serving_commit_budget", 0)
     return -(-(cap + 1) // 8) * 8
 
 
@@ -278,20 +281,25 @@ class AlignAttSession:
             # below is the real bound); a fixed 64 would waste cap room
             max_ctx = max(max_ctx, cap)
         after = len(self.cfg.static_init_prompt or "")
-        # Hysteresis on the cap trim: trimming exactly to the cap shifts the
-        # prefix head EVERY tick once the session saturates it, which moves
-        # every row's position, misses the self-KV refresh plan, and forces
-        # a full prefill per tick (measured n=24 e2e: 975/1178 anchors were
-        # skv_plan_miss). Trimming a block below the cap keeps the prefix
-        # head stable for the next ~block of commits — one re-anchor per
-        # block instead of one per tick. On ticks that pay a full prefill
-        # anyway (eviction, mirror resync) trim TWO blocks deep so the cap
-        # does not bind again before the next forced anchor.
+        # Trim scheduling: ANY head trim shifts every prefix row's position,
+        # misses the slim self-KV refresh plan, and upgrades the whole group
+        # tick to the padded full-width refresh program (measured n=24 e2e:
+        # fullrefresh.head_shift 829 over 265 inc ticks — with ~22 lanes a
+        # single trimming lane taxes everyone, so the group ran full-width
+        # nearly every tick, 725 ms vs the 286 ms model). So trims align
+        # with ticks that pay a full prefill anyway (eviction, mirror
+        # resync): those trim TWO blocks below the cap, and the commit
+        # budget (extra pool rows past the cap) absorbs mid-epoch commit
+        # growth until the next one. Mid-epoch trims fire only when commits
+        # exhaust the budget (a sustained burst) — then trim a block below
+        # the cap so the emergency does not repeat next tick.
         deep = self._deep_trim or self.skv_tokens is None
+        budget = getattr(self.engine, "serving_commit_budget", 0) if cap else 0
         blk = min(32, cap // 4) if cap else 0
         cap_lo = max(1, cap - (2 * blk if deep else blk)) if cap else 0
-        trim_now = cap and (total > cap or (deep and total > cap_lo))
-        cap_target = cap_lo if trim_now else cap
+        ceil = cap if deep else cap + budget
+        trim_now = cap and (total > ceil or (deep and total > cap_lo))
+        cap_target = cap_lo if trim_now else ceil
         while c > max_ctx or l > self.max_text_len - 20 or (cap and total > cap_target):
             t = self.context.trim_words(after=after)
             l -= t
@@ -338,25 +346,40 @@ class AlignAttSession:
         # under it (in-window committed + sot alone exceed the cap) — the
         # self-KV pool rows only exist up to the cap
         cap = eng.serving_prefix_cap if self.xkv_alloc is not None else 0
+        # mid-epoch the commit budget raises the ceiling so in-window commits
+        # grow the prefix instead of shifting the head (trim_context's
+        # scheduling, same predicate); ticks that will anchor (deep trim /
+        # no mirror) keep the hard cap — the anchor prefill program is
+        # compiled at p_max = cap
+        deep = self._deep_trim or self.skv_tokens is None
+        ceil = cap + getattr(eng, "serving_commit_budget", 0) if cap and not deep else cap
         p_need = eng.bucket_for(len(prefix_ids))
         if cap:
             p_need = min(p_need, eng.bucket_for(cap))
         keep_max = min(p_need, cap or p_need)
-        if len(prefix_ids) > keep_max:
-            # Block-aligned head drop with hysteresis (the tail-keep analog
-            # of trim_context's cap_lo): keeping exactly the last `keep_max`
-            # tokens moves the head every tick once in-window commits exceed
-            # the cap — the dominant first-epoch case, since context is
-            # empty until the first eviction (measured e2e n=24:
-            # skv_miss.head_shift 593, one full prefill per tick). Dropping
-            # a block EXTRA keeps the head fixed for the next ~block of
-            # commits, so the self-KV refresh plan keeps hitting.
-            drop_need = len(prefix_ids) - keep_max
+        if ceil > keep_max:
+            keep_max = ceil
+        if deep:
+            # this tick pays a full prefill (anchor) that rebuilds every
+            # row, so a previously applied head drop is stale state
+            self._cap_head_drop = 0
+        if len(prefix_ids) > keep_max or (cap and self._cap_head_drop):
+            # Head drop with hysteresis AND persistence: once applied, the
+            # SAME drop re-applies on every later mid-epoch tick —
+            # prefix_ids is rebuilt from context/committed each tick, so
+            # letting the drop lapse would re-include the dropped head and
+            # mismatch the device mirror (one padded full-width refresh per
+            # tick). When the drop must move it grows a block PAST the
+            # need, keeping the head fixed for the next ~block of commits;
+            # with the commit budget raising keep_max mid-epoch, a move
+            # here means a sustained burst exhausted the budget (or the
+            # first-epoch case: context empty, commits alone exceed it).
+            drop_need = max(0, len(prefix_ids) - keep_max)
             blk = min(32, max(8, keep_max // 4))
-            extra = 2 * blk if (self._deep_trim or self.skv_tokens is None) else blk
+            extra = 2 * blk if deep else blk
             if (
                 self._cap_head_drop < drop_need
-                or self._cap_head_drop > drop_need + 2 * blk
+                or self._cap_head_drop > drop_need + 2 * blk + extra
                 or self._cap_head_drop >= len(prefix_ids) - 1
             ):
                 self._cap_head_drop = drop_need + extra
@@ -380,7 +403,7 @@ class AlignAttSession:
                 cut = min(drop - n_ctx, len(body))
                 prefix_ids = prefix_ids[n_ctx:n_ctx + n_init] + body[cut:]
                 sot_index = sot_in_seq
-        else:
+        elif not cap:
             self._cap_head_drop = 0
         self._deep_trim = False
 
@@ -522,6 +545,29 @@ class AlignAttSession:
                 ti.skv_refresh_tokens, ti.skv_refresh_pos = plan
         if pooled:
             ti.xkv_gi, ti.xkv_slot = self.xkv_gi, self.xkv_slot
+            cap = self.engine.serving_prefix_cap
+            if ti.enc_mode == "anchor" and cap and len(ti.prefix_ids) > cap:
+                # With the commit budget the mid-epoch prefix may exceed the
+                # cap; the anchor prefill programs are compiled at
+                # p_max = cap (warmup precompile) and a larger bucket would
+                # compile mid-serve (~30 s stall). Anchors rebuild every row
+                # anyway, so head-truncate to the cap here (sot-preserving)
+                # and fold the extra into the persistent head drop so the
+                # next tick's prefix matches the rebuilt mirror.
+                over = len(ti.prefix_ids) - cap
+                ids = ti.prefix_ids
+                sot_in_seq = self.tokenizer.sot_sequence.index(self.tokenizer.sot)
+                n_ctx = ti.sot_index - sot_in_seq
+                if over <= n_ctx:
+                    ti.prefix_ids = ids[over:]
+                    ti.sot_index -= over
+                else:
+                    n_init = len(self.initial_tokens)
+                    body = ids[n_ctx + n_init:]
+                    cut = min(over - n_ctx, len(body))
+                    ti.prefix_ids = ids[n_ctx:n_ctx + n_init] + body[cut:]
+                    ti.sot_index = sot_in_seq
+                self._cap_head_drop += over
         ti.enc_lane = self.enc_lane
         ti.enc_commit = (key, win)
 
