@@ -307,6 +307,9 @@ def main():
     ap.add_argument("--anchor-cohorts", type=int, default=None,
                     help="xkv_anchor_cohorts override: stagger group "
                     "re-anchors over N sub-epochs (p95 tail A/B)")
+    ap.add_argument("--commit-budget", type=int, default=None,
+                    help="serving_commit_budget override (extra self-KV "
+                    "pool rows past the prefix cap; width-vs-trim A/B)")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -326,6 +329,8 @@ def main():
     )
     if args.anchor_cohorts is not None:
         engine_kwargs["xkv_anchor_cohorts"] = args.anchor_cohorts
+    if args.commit_budget is not None:
+        engine_kwargs["serving_commit_budget"] = args.commit_budget
 
     # prime: a tiny throwaway run builds the (cached) engine, whose
     # scheduler kicks the serving-program precompile thread; joining it
@@ -368,6 +373,7 @@ def main():
         "decoder_dtype": args.decoder_dtype,
         "max_steps": args.max_steps,
         "anchor_cohorts": args.anchor_cohorts,
+        "commit_budget": args.commit_budget,
         "max_sustained_streams": max(sustained) if sustained else 0,
         "max_sustained_streams_at_500ms_p50": max(rt) if rt else 0,
         "runs": results,

@@ -106,16 +106,65 @@ def render(art: dict, src_name: str) -> str:
         "serving-prefix-cap sizing fix (79.9 unconstrained at B=48, 601 ms "
         "tick — over the latency budget) -> r5 headline is the "
         "latency-constrained peak (bench.py enforces the 500 ms clause in "
-        "peak selection).",
+        "peak selection) and the pool carries serving_commit_budget rows "
+        "(~5 tick-model streams spent to stop mid-epoch head trims from "
+        "running the padded full-width refresh every group tick — bought "
+        "measured e2e from 0 sustained (r3/r4) to 32).",
     ]
     return "\n".join(lines) + "\n"
+
+
+def e2e_section() -> list:
+    """Append the measured end-to-end serving co-headline (VERDICT r4 task
+    #3: the e2e number lives NEXT TO the tick-model number, and when they
+    disagree the attribution counters say why)."""
+    src = Path("docs/perf/e2e_serving_r5.json")
+    if not src.exists():
+        return []
+    d = json.loads(src.read_text())
+    lines = [
+        "",
+        "## Measured end-to-end serving (same chip, live sessions)",
+        "",
+        f"Source: `{src.name}` (scripts/bench_e2e_serving.py — real asyncio "
+        "sessions through the scheduler: staggered admission, VAD, "
+        "real-time audio pacing, word emission on the session clock; "
+        "5-minute measured windows).",
+        "",
+        f"- **{d['max_sustained_streams_at_500ms_p50']} streams at "
+        "<= 500 ms p50 word-emission** (the north-star latency clause, "
+        "measured end-to-end rather than tick-modeled)",
+        f"- **{d['max_sustained_streams']} streams sustained** (drift "
+        "criterion: emission lag not growing)",
+        "",
+        "| n | keep up | word p50 | word p95 | sched tick p50 |",
+        "|---|---|---|---|---|",
+    ]
+    for r in d["runs"]:
+        s = r["scheduler"]
+        lines.append(
+            f"| {r['n_sessions']} | {r['keep_up']} | "
+            f"{r['word_emission_p50_ms']:.0f} ms | "
+            f"{r['word_emission_p95_ms']:.0f} ms | {s['tick_ms_p50']:.0f} ms |"
+        )
+    lines += [
+        "",
+        "The gap to the tick model is attributed, not guessed, by the "
+        "committed counters in the artifact (`anchor_reasons`, "
+        "`tick_phases`, lanes-per-call): the random-weight streams' "
+        "pathological text dynamics (hallucination rewind-guard resets, "
+        "commit bursts) force re-anchors and full-width refresh programs "
+        "that trained-weight speech does not (docs/perf/README.md, "
+        '"End-to-end serving vs the tick model").',
+    ]
+    return lines
 
 
 def main() -> None:
     src = Path(sys.argv[1] if len(sys.argv) > 1 else "docs/perf/capacity_r4.json")
     art = json.loads(src.read_text())
     out = Path("docs/perf/CAPACITY.md")
-    out.write_text(render(art, src.name))
+    out.write_text(render(art, src.name) + "\n".join(e2e_section()) + "\n")
     print(f"wrote {out}")
 
 

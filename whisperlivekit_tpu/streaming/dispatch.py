@@ -387,28 +387,28 @@ def precompile_serving_programs(
             times[key] = None
 
     p_max = engine.bucket_for(engine.serving_prefix_cap or engine.prefix_buckets[-1])
-    B = 8
-    t0 = time.perf_counter()
-    try:
-        _A.alignatt_tick_anchor_pooled.lower(
-            p_sds, sds((B, N_SAMPLES), jnp.int16),
-            kv(), kv(), enc_p(), skv(), skv(), stat(), stat(), stat(),
-            sds((G,), jnp.float32), i32(G, dims.n_text_ctx),
-            i32(B), i32(B),
-            i32(B, p_max), i32(B), i32(B), i32(B), i32(B),
-            sds((B,), bool), i32(B),
-            sds((dims.n_vocab,), jnp.float32),
-            sds((K,), jnp.int32), sds((K,), jnp.int32),
-            sds((), jnp.int32), sds((), jnp.int32), sds((), jnp.float32),
-            sds((B,), bool),
-            sds((dims.n_audio_state,), jnp.float32), sds((), jnp.float32),
-            p_max=p_max, use_cif=engine.use_cif,
-            mel_pallas=getattr(cfg, "mel_pallas", False), **statics,
-        ).compile()
-        times["anchor_pooled"] = round(time.perf_counter() - t0, 1)
-    except Exception as e:
-        logger.warning("precompile anchor_pooled failed: %s", e)
-        times["anchor_pooled"] = None
+    for B in (4, 8):  # both chunked-anchor widths (CHUNK_SMALL and CHUNK)
+        t0 = time.perf_counter()
+        try:
+            _A.alignatt_tick_anchor_pooled.lower(
+                p_sds, sds((B, N_SAMPLES), jnp.int16),
+                kv(), kv(), enc_p(), skv(), skv(), stat(), stat(), stat(),
+                sds((G,), jnp.float32), i32(G, dims.n_text_ctx),
+                i32(B), i32(B),
+                i32(B, p_max), i32(B), i32(B), i32(B), i32(B),
+                sds((B,), bool), i32(B),
+                sds((dims.n_vocab,), jnp.float32),
+                sds((K,), jnp.int32), sds((K,), jnp.int32),
+                sds((), jnp.int32), sds((), jnp.int32), sds((), jnp.float32),
+                sds((B,), bool),
+                sds((dims.n_audio_state,), jnp.float32), sds((), jnp.float32),
+                p_max=p_max, use_cif=engine.use_cif,
+                mel_pallas=getattr(cfg, "mel_pallas", False), **statics,
+            ).compile()
+            times[f"anchor_pooled_b{B}"] = round(time.perf_counter() - t0, 1)
+        except Exception as e:
+            logger.warning("precompile anchor_pooled b%d failed: %s", B, e)
+            times[f"anchor_pooled_b{B}"] = None
 
     t0 = time.perf_counter()
     temp = _A._anchor_group_temp_bytes(engine, xkv, G, p_max)
@@ -583,17 +583,23 @@ def _dispatch_group_xkv_anchor(engine, ticks, tokenizer, pool, enc_pool, xkv, gi
 
     fetches: List = []
     CHUNK = 8  # dense cross-KV transient ~2 GB at large-v3
+    CHUNK_SMALL = 4  # measured e2e: anchor calls average ~4 lanes (epoch
+    #                  waves spread across scheduler windows), so half the
+    #                  calls padded 4 idle lanes' worth of full-window
+    #                  encode into the 8-wide program; a second compiled
+    #                  width serves small calls at ~half the encode cost
     for c0 in range(0, len(ticks), CHUNK):
         chunk = ticks[c0 : c0 + CHUNK]
         n = len(chunk)
-        # ONE compiled shape for every chunked anchor (capped engines): a
-        # short chunk pads to the full CHUNK width and every prefix pads to
-        # the cap's bucket. Joins waste a little prefill; serving never
-        # stalls on a fresh (width, bucket) compile mid-stream (the r3 e2e
-        # runs spent most of their measured window compiling straggler
-        # anchor shapes — wall 798 s for a 60 s run at n=40).
+        # TWO compiled shapes for every chunked anchor (capped engines): a
+        # chunk pads to CHUNK_SMALL or the full CHUNK width and every
+        # prefix pads to the cap's bucket. Joins waste a little prefill;
+        # serving never stalls on a fresh (width, bucket) compile
+        # mid-stream (the r3 e2e runs spent most of their measured window
+        # compiling straggler anchor shapes — wall 798 s for a 60 s run at
+        # n=40).
         if engine.serving_prefix_cap:
-            B = CHUNK
+            B = CHUNK_SMALL if n <= CHUNK_SMALL else CHUNK
             p_max = engine.bucket_for(engine.serving_prefix_cap)
         else:
             B = 1 << (n - 1).bit_length()
