@@ -238,10 +238,18 @@ def test_lane_cap_scales_with_model(engine):
     from whisperlivekit_tpu.engine.scheduler import _auto_lane_cap
     from whisperlivekit_tpu.models.whisper.dims import MODEL_DIMS
 
+    class FakeCfg:
+        def __init__(self, dtype):
+            self.xkv_cache_dtype = dtype
+
     class Fake:
-        def __init__(self, dims):
+        def __init__(self, dims, xkv_dtype="bf16"):
             self.dims = dims
+            self.cfg = FakeCfg(xkv_dtype)
 
     assert _auto_lane_cap(Fake(MODEL_DIMS["base"]), 96) == 96
     assert _auto_lane_cap(Fake(MODEL_DIMS["large-v3-turbo"]), 96) == 64
+    # large-v3 bf16 pools OOM past 24; f8 pools run B=32 in the 500 ms
+    # tick budget (capacity_r5.json)
     assert _auto_lane_cap(Fake(MODEL_DIMS["large-v3"]), 96) == 24
+    assert _auto_lane_cap(Fake(MODEL_DIMS["large-v3"], xkv_dtype="f8"), 96) == 32

@@ -52,12 +52,15 @@ logger = logging.getLogger(__name__)
 
 def _auto_lane_cap(engine: AlignAttEngine, requested: int) -> int:
     """HBM/latency-bound lane-group width per model scale (measured on v5e,
-    bench.py sub-metrics: base peaks at B=64, turbo at B=32, large-v3 at
-    B=24 within the 500 ms p50 tick-latency budget — B=32 adds ~1% streams
-    at 584 ms p50)."""
+    bench.py sub-metrics / docs/perf/capacity_r5.json): base peaks at B=64,
+    turbo at B=32. large-v3 with f8 cross-KV pools runs B=32 inside the
+    500 ms p50 tick budget (amortized 445.7 ms, the r5 capacity headline);
+    bf16 pools OOM at that width (B=32 bf16: resident 10.7G + 5.6G temp >
+    HBM) and stay at B=24 (364.7 ms)."""
     d = engine.dims
     if d.n_audio_state >= 1280 and d.n_text_layer >= 16:  # large-v3 class
-        return min(requested, 24)
+        f8_pool = getattr(engine.cfg, "xkv_cache_dtype", "bf16") == "f8"
+        return min(requested, 32 if f8_pool else 24)
     if d.n_audio_state >= 1280:  # turbo class
         return min(requested, 64)
     return requested
