@@ -53,14 +53,23 @@ logger = logging.getLogger(__name__)
 def _auto_lane_cap(engine: AlignAttEngine, requested: int) -> int:
     """HBM/latency-bound lane-group width per model scale (measured on v5e,
     bench.py sub-metrics / docs/perf/capacity_r5.json): base peaks at B=64,
-    turbo at B=32. large-v3 with f8 cross-KV pools runs B=32 inside the
-    500 ms p50 tick budget (amortized 445.7 ms, the r5 capacity headline);
-    bf16 pools OOM at that width (B=32 bf16: resident 10.7G + 5.6G temp >
-    HBM) and stay at B=24 (364.7 ms)."""
+    turbo at B=32, large-v3 at B=24.
+
+    large-v3 f8 pools *fit* at width 32 (capacity_r5.json: amortized tick
+    445.7 ms under the tick model's 1-anchor-per-15-ticks assumption), but
+    measured end-to-end serving is WORSE than 2x24 once real anchor churn
+    hits (docs/perf/e2e_width32_r5.json: one width-32 group at n=32 ticks
+    at 1062 ms p50 with 1588 ms anchors stalling all 32 lanes, vs 523 ms
+    p50 for two 24-wide groups under the same load) — so 24 stays the
+    default; an explicit request up to 32 is honored for anchor-light
+    workloads where the tick model holds. bf16 pools OOM past 24
+    (B=32 bf16: resident 10.7G + 5.6G temp > HBM)."""
     d = engine.dims
     if d.n_audio_state >= 1280 and d.n_text_layer >= 16:  # large-v3 class
         f8_pool = getattr(engine.cfg, "xkv_cache_dtype", "bf16") == "f8"
-        return min(requested, 32 if f8_pool else 24)
+        if f8_pool and requested <= 32:  # explicit opt-in, HBM-feasible
+            return requested
+        return min(requested, 24)
     if d.n_audio_state >= 1280:  # turbo class
         return min(requested, 64)
     return requested
