@@ -109,7 +109,11 @@ def render(art: dict, src_name: str) -> str:
         "peak selection) and the pool carries serving_commit_budget rows "
         "(~5 tick-model streams spent to stop mid-epoch head trims from "
         "running the padded full-width refresh every group tick — bought "
-        "measured e2e from 0 sustained (r3/r4) to 32).",
+        "measured e2e from 0 sustained (r3/r4) to 32). Note the B=32 f8 "
+        "tick-model optimum does NOT transfer to serving defaults: one "
+        "width-32 group measures worse end-to-end than two 24-wide groups "
+        "under real anchor churn (docs/perf/e2e_width32_r5.json), so the "
+        "auto lane cap stays 24 (engine/scheduler.py:_auto_lane_cap).",
     ]
     return "\n".join(lines) + "\n"
 
@@ -118,9 +122,13 @@ def e2e_section() -> list:
     """Append the measured end-to-end serving co-headline (VERDICT r4 task
     #3: the e2e number lives NEXT TO the tick-model number, and when they
     disagree the attribution counters say why)."""
-    src = Path("docs/perf/e2e_serving_r5.json")
-    if not src.exists():
+    candidates = sorted(
+        Path("docs/perf").glob("e2e_serving_r*.json"),
+        key=lambda p: p.stat().st_mtime,
+    )
+    if not candidates:
         return []
+    src = candidates[-1]  # newest sweep is the committed truth
     d = json.loads(src.read_text())
     lines = [
         "",
@@ -161,7 +169,16 @@ def e2e_section() -> list:
 
 
 def main() -> None:
-    src = Path(sys.argv[1] if len(sys.argv) > 1 else "docs/perf/capacity_r4.json")
+    if len(sys.argv) > 1:
+        src = Path(sys.argv[1])
+    else:
+        caps = sorted(
+            Path("docs/perf").glob("capacity_r*.json"),
+            key=lambda p: p.stat().st_mtime,
+        )
+        if not caps:
+            raise SystemExit("no docs/perf/capacity_r*.json artifact found")
+        src = caps[-1]  # newest sweep is the committed truth
     art = json.loads(src.read_text())
     out = Path("docs/perf/CAPACITY.md")
     out.write_text(render(art, src.name) + "\n".join(e2e_section()) + "\n")
